@@ -1,0 +1,79 @@
+"""compare_reads CLI - standalone symmetric two-set comparison via the
+Compareads 3-pass false-positive refinement (reference src/compare_reads.cpp):
+pass 1: B restricted to (B in A); pass 2: A in (B in A) -> <A>_in_<B>.bv;
+pass 3: B in (A in (B in A)) -> <B>_in_<A>.bv.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from commet_tpu.engine.engine import Engine
+from commet_tpu.io.fof import parse_sets
+from commet_tpu.io.reads import ReadSet
+
+
+def _load(name, entries):
+    rs = ReadSet(name)
+    for fname, bvname in entries:
+        rs.add_file(fname, bvname or None)
+    return rs
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    index_file_list = ""
+    search_file_list = ""
+    kmer_size = 33
+    min_hits = 2
+    log_path = "."
+    out_path = "."
+    i = 0
+    while i < len(argv):
+        flag = argv[i]
+        if flag == "-i":
+            i += 1
+            index_file_list = argv[i]
+        elif flag == "-s":
+            i += 1
+            search_file_list = argv[i]
+        elif flag == "-l":
+            i += 1
+            log_path = argv[i]
+        elif flag == "-o":
+            i += 1
+            out_path = argv[i]
+        elif flag == "-k":
+            i += 1
+            kmer_size = int(argv[i])
+        elif flag == "-t":
+            i += 1
+            min_hits = int(argv[i])
+        elif flag == "-h":
+            print(__doc__)
+            return 0
+        i += 1
+
+    os.makedirs(log_path, exist_ok=True)
+    os.makedirs(out_path, exist_ok=True)
+
+    (iname, ientries), = parse_sets(index_file_list).items()
+    a = _load(iname, ientries)
+    qname, qentries = next(iter(parse_sets(search_file_list).items()))
+    b = _load(qname, qentries)
+
+    eng = Engine(k=kmer_size, t=min_hits)
+    # pass 1: B in A (src/compare_reads.cpp:240-266)
+    eng.index_and_search(a, [b], out_dir=out_path, log_dir=log_path, save=False)
+    b.apply_result_as_filter()
+    # pass 2: A in (B in A) (src/compare_reads.cpp:268-300)
+    eng.index_and_search(b, [a], out_dir=out_path, log_dir=log_path, save=True)
+    a.apply_result_as_filter()
+    # pass 3: B in (A in (B in A)) (src/compare_reads.cpp:302-333)
+    eng.index_and_search(a, [b], out_dir=out_path, log_dir=log_path, save=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

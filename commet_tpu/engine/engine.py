@@ -1,0 +1,241 @@
+"""The index->search engine: TPU-native equivalent of the reference's
+index_and_search tool (src/index_and_search.cpp) with bit-exact semantics.
+
+Execution model
+---------------
+The reference streams reads single-threaded through a RAM-bounded Bloom
+index built in sequential partitions. Here:
+  - the host layer batches eligible reads into fixed-shape padded 2-bit
+    code tensors;
+  - partition boundaries replicate the reference's read-granular cursor
+    semantics exactly, including the read *dropped* at every partition
+    boundary (index_reads.h:49-61 fetches one read past the cap and never
+    indexes it) and found-read skipping between partitions
+    (file_manager.h:99-109);
+  - per partition, the 4 membership planes are built on device
+    (kernels.build_chunk) and every still-untagged query read is classified
+    in large data-parallel batches (kernels.search_batch).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from commet_tpu.core import kernels
+from commet_tpu.io.reads import ReadSet
+
+# default read-batch geometry; padded shapes are bucketed to limit recompiles
+DEFAULT_BATCH = 4096
+LENGTH_BUCKET = 32
+
+
+def max_kmer_for(k: int) -> int:
+    """Partition cap: (unsigned long)(1e9 / 2^(33-k))
+    (reference index_and_search.cpp:73,146)."""
+    return int(1000000000.0 / (2.0 ** (33 - k)))
+
+
+def _pad_length(lmax: int, k: int) -> int:
+    lmax = max(lmax, k)
+    return -(-lmax // LENGTH_BUCKET) * LENGTH_BUCKET
+
+
+@dataclass
+class EncodedSet:
+    """Device-friendly view of a ReadSet: flat 2-bit codes + ragged index."""
+
+    rs: ReadSet
+    flat_codes: List[np.ndarray] = field(default_factory=list)
+    offsets: List[np.ndarray] = field(default_factory=list)
+    lengths: List[np.ndarray] = field(default_factory=list)
+
+    def __post_init__(self):
+        for f in self.rs.files:
+            c, o, l = f.encoded()
+            self.flat_codes.append(c)
+            self.offsets.append(o)
+            self.lengths.append(l)
+
+    def gather_batch(self, idx: np.ndarray, lpad: int) -> np.ndarray:
+        """Pack reads (file_idx, read_pos) pairs into a [B, lpad] uint8 code
+        array (pad value INVALID)."""
+        b = len(idx)
+        out = np.full((b, lpad), kernels.INVALID_CODE, dtype=np.uint8)
+        for row, (fi, pos) in enumerate(idx):
+            off = self.offsets[fi][pos]
+            ln = min(int(self.lengths[fi][pos]), lpad)
+            out[row, :ln] = self.flat_codes[fi][off : off + ln]
+        return out
+
+    def read_lengths(self, idx: np.ndarray) -> np.ndarray:
+        if len(idx) == 0:
+            return np.zeros(0, dtype=np.int32)
+        return np.array([self.lengths[fi][pos] for fi, pos in idx], dtype=np.int32)
+
+
+class Engine:
+    """Builds membership planes from an index set and classifies query sets
+    against them, with reference partitioning semantics."""
+
+    def __init__(self, k: int, t: int, batch: int = DEFAULT_BATCH,
+                 max_kmer: Optional[int] = None):
+        self.k = k
+        self.t = t
+        self.batch = batch
+        self.max_kmer = max_kmer_for(k) if max_kmer is None else max_kmer
+
+    # ---------------------------------------------------------------- utils
+    def _batched_codes(self, enc: EncodedSet, idx: np.ndarray):
+        """Yield (row_slice, codes_batch[B, lpad]) over idx in fixed batches."""
+        if len(idx) == 0:
+            return
+        lengths = enc.read_lengths(idx)
+        lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+        for start in range(0, len(idx), self.batch):
+            chunk = idx[start : start + self.batch]
+            codes = enc.gather_batch(chunk, lpad)
+            if len(chunk) < self.batch:
+                pad = np.full((self.batch - len(chunk), lpad),
+                              kernels.INVALID_CODE, dtype=np.uint8)
+                codes = np.concatenate([codes, pad], axis=0)
+            yield slice(start, start + len(chunk)), codes
+
+    def count_kmers(self, enc: EncodedSet, idx: np.ndarray) -> np.ndarray:
+        """Per-read complete-window counts for the partitioning cursor."""
+        out = np.zeros(len(idx), dtype=np.int64)
+        for sl, codes in self._batched_codes(enc, idx):
+            cnt = kernels.count_kmers(jnp.asarray(codes, dtype=jnp.int32), self.k)
+            out[sl] = np.asarray(cnt)[: sl.stop - sl.start]
+        return out
+
+    def partitions(self, kmer_counts: np.ndarray) -> List[np.ndarray]:
+        """Split eligible-read indices into partitions with the exact
+        reference cursor semantics: reads are indexed while the partition's
+        cumulative k-mer count is < max_kmer; the first read fetched at or
+        past the cap is consumed but never indexed
+        (index_reads.h:49-61, index_and_search.cpp:255-277)."""
+        n = len(kmer_counts)
+        parts: List[np.ndarray] = []
+        cursor = 0
+        seen = 0
+        while seen < n:  # outer loop: get_reads_count() < nb_reads_to_index
+            nb = 0
+            members = []
+            # first fetch of this index_reads call
+            seen += 1
+            if cursor >= n:
+                break
+            r = cursor
+            cursor += 1
+            while True:
+                if nb >= self.max_kmer:
+                    break  # read r is consumed but NOT indexed (dropped)
+                members.append(r)
+                nb += int(kmer_counts[r])
+                seen += 1
+                if cursor >= n:
+                    r = None
+                    break
+                r = cursor
+                cursor += 1
+            parts.append(np.array(members, dtype=np.int64))
+            if r is None:
+                break
+        return parts
+
+    # ------------------------------------------------------------ main flow
+    def build_planes(self, planes, enc: EncodedSet, idx: np.ndarray):
+        for _, codes in self._batched_codes(enc, idx):
+            planes = kernels.build_chunk(planes, jnp.asarray(codes, jnp.int32),
+                                         self.k)
+        return planes
+
+    def search_set(self, planes, enc: EncodedSet, idx: np.ndarray):
+        """Classify reads ``idx``; returns bool tags [len(idx)]."""
+        tags = np.zeros(len(idx), dtype=bool)
+        for sl, codes in self._batched_codes(enc, idx):
+            tagged, _ = kernels.search_batch(planes, jnp.asarray(codes, jnp.int32),
+                                             self.k, self.t)
+            tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
+        return tags
+
+    def index_and_search(self, index_set: ReadSet, query_sets: List[ReadSet],
+                         out_dir: Optional[str] = None,
+                         log_dir: Optional[str] = None,
+                         save: bool = True) -> Dict[str, Dict[str, int]]:
+        """The full partitioned loop (index_and_search.cpp:255-277): build
+        planes per partition, classify every query set per partition with
+        found-read skipping; finally write per-file result .bv's.
+
+        Returns per-query-set counters {name: {indexed, searched, shared}}.
+        """
+        t_start = time.time()
+        enc_index = EncodedSet(index_set)
+        enc_queries = [EncodedSet(q) for q in query_sets]
+
+        elig = index_set.eligible()
+        kcounts = self.count_kmers(enc_index, elig) if len(elig) else \
+            np.zeros(0, dtype=np.int64)
+        parts = self.partitions(kcounts)
+
+        nb_indexed = 0
+        found_tot = [0] * len(query_sets)
+        searched_last = [0] * len(query_sets)
+        index_time = 0.0
+        search_times = [0.0] * len(query_sets)
+
+        planes = None
+        for part in parts:
+            t0 = time.time()
+            planes = kernels.alloc_planes(self.k)
+            planes = self.build_planes(planes, enc_index, elig[part])
+            jax.block_until_ready(planes)
+            index_time += time.time() - t0
+            nb_indexed += len(part)
+            for qi, (q, enc_q) in enumerate(zip(query_sets, enc_queries)):
+                t0 = time.time()
+                cand = q.untagged_eligible()
+                searched_last[qi] = len(cand)
+                if len(cand):
+                    tags = self.search_set(planes, enc_q, cand)
+                    hit = cand[tags]
+                    found_tot[qi] += len(hit)
+                    if len(hit):
+                        q.tag(hit[:, 0], hit[:, 1])
+                search_times[qi] += time.time() - t0
+
+        counters = {}
+        for qi, q in enumerate(query_sets):
+            counters[q.name] = {
+                "indexed": nb_indexed,
+                "searched": searched_last[qi],
+                "shared": found_tot[qi],
+                "index_time": index_time,
+                "search_time": search_times[qi],
+                "total_time": time.time() - t_start,
+            }
+            if log_dir is not None:
+                self._write_log(log_dir, q.name, index_set.name, counters[q.name])
+            if save and out_dir is not None:
+                q.save_result_bvs(out_dir, index_set.name)
+        return counters
+
+    @staticmethod
+    def _write_log(log_dir: str, qname: str, iname: str, c: Dict[str, float]):
+        """Per-pair log with the reference's format
+        (index_and_search.cpp:288-300)."""
+        path = os.path.join(log_dir, f"{qname}_in_{iname}.log")
+        with open(path, "w") as f:
+            f.write("Index  time: %g s\n" % c["index_time"])
+            f.write("Search time: %g s\n" % c["search_time"])
+            f.write("Total  time: %g s\n" % c["total_time"])
+            f.write("[indexed %d, searched %d, shared %d]\n"
+                    % (c["indexed"], c["searched"], c["shared"]))

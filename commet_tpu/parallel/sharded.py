@@ -1,0 +1,149 @@
+"""Multi-chip execution: membership planes sharded across the mesh, query
+batches data-parallel, results merged with collectives.
+
+Replaces the reference's parallelism story (SGE job DAG over a shared
+filesystem, Commet.py:119,204-236) with a jax.sharding Mesh over ICI:
+
+  - the 4 membership planes ([4, W] uint32) are sharded on the word axis
+    across mesh axis "d" - the TPU equivalent of the reference's RAM-bounded
+    sequential index partitions (index_and_search.cpp:255-277), except the
+    shards are resident simultaneously and probed in parallel;
+  - query read batches are sharded on the read axis (data parallel);
+  - each chip computes plane-membership hits for the whole batch against its
+    word range; a psum over "d" assembles full membership, after which each
+    chip greedy-counts its own rows;
+  - per-pair matrix counts merge with psum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from commet_tpu.core import kernels
+from commet_tpu.core.kernels import (_four_plane_addrs, _greedy_count,
+                                     plane_words, window_scan)
+
+shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
+if shard_map is None:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("d",))
+
+
+def alloc_planes_sharded(k: int, mesh: Mesh):
+    """[4, W] uint32 planes, word axis sharded over mesh axis 'd'."""
+    w = plane_words(k)
+    sharding = NamedSharding(mesh, P(None, "d"))
+    return jax.device_put(jnp.zeros((4, w), dtype=jnp.uint32), sharding)
+
+
+def _local_membership(planes_local, words, masks, k, lo, w_local):
+    """Bit-tests against this chip's word range; False outside it."""
+    in_range = (words >= lo) & (words < lo + w_local)
+    wl = jnp.clip(words - lo, 0, w_local - 1).astype(jnp.int32)
+    flat = planes_local.reshape(-1)
+    offs = (jnp.arange(4, dtype=jnp.int32) * w_local).reshape(
+        (4,) + (1,) * (words.ndim - 1))
+    got = jnp.take(flat, wl + offs, axis=0)
+    return in_range & ((got & masks) != 0)
+
+
+def build_search_step(mesh: Mesh, k: int, t: int):
+    """Returns jitted (build_fn, search_fn) over the mesh.
+
+    build_fn(planes [4,W] P(None,'d'), codes [N,L] replicated) -> planes
+    search_fn(planes, codes [N,L] P('d',None)) -> tags [N] P('d')
+    """
+    n_dev = mesh.devices.size
+    w = plane_words(k)
+    if w % n_dev != 0:
+        raise ValueError(f"plane words {w} not divisible by mesh size {n_dev}")
+    w_local = w // n_dev
+
+    def _build(planes_local, codes):
+        # codes replicated: every chip scans everything, keeps its range
+        lo = jax.lax.axis_index("d").astype(jnp.uint32) * np.uint32(w_local)
+        s = window_scan(codes, k)
+        ok = s["ok"].reshape(-1)
+        a_lo, a_hi = s["fa_lo"].reshape(-1), s["fa_hi"].reshape(-1)
+        b_lo, b_hi = s["fb_lo"].reshape(-1), s["fb_hi"].reshape(-1)
+        words, masks = _four_plane_addrs(a_lo, a_hi, b_lo, b_hi, k)
+        out = planes_local
+        for p in range(4):
+            word, mask = words[p], masks[p]
+            mine = ok & (word >= lo) & (word < lo + np.uint32(w_local))
+            wl = jnp.where(mine, word - lo, np.uint32(w_local))  # sentinel
+            mask = jnp.where(mine, mask, 0)
+            wl, mask = jax.lax.sort((wl, mask), num_keys=1)
+            from commet_tpu.core.kernels import _segmented_or_last
+            or_mask = _segmented_or_last(wl, mask)
+            wl = jnp.minimum(wl, np.uint32(w_local - 1)).astype(jnp.int32)
+            existing = out[p, wl]
+            out = out.at[p, wl].add(or_mask & ~existing)
+        return out
+
+    def _search(planes_local, codes_local):
+        lo = jax.lax.axis_index("d").astype(jnp.uint32) * np.uint32(w_local)
+        # assemble the full batch on every chip, membership via psum
+        codes = jax.lax.all_gather(codes_local, "d", tiled=True)
+        s = window_scan(codes, k)
+        ok = s["ok"]
+        fw_w, fw_m = _four_plane_addrs(s["fa_lo"], s["fa_hi"],
+                                       s["fb_lo"], s["fb_hi"], k)
+        rc_w, rc_m = _four_plane_addrs(s["ra_lo"], s["ra_hi"],
+                                       s["rb_lo"], s["rb_hi"], k)
+        part_f = _local_membership(planes_local, fw_w, fw_m, k, lo, w_local)
+        part_r = _local_membership(planes_local, rc_w, rc_m, k, lo, w_local)
+        # each word lives on exactly one chip -> psum == OR
+        both = jax.lax.psum(jnp.stack([part_f, part_r]).astype(jnp.int32), "d")
+        mem_f = both[0].all(axis=0)  # AND over the 4 planes
+        mem_r = both[1].all(axis=0)
+        cnt_f = _greedy_count(mem_f & ok, ok, k, t)
+        cnt_r = _greedy_count(mem_r & ok, ok, k, t)
+        tags = (cnt_f >= t) | (cnt_r >= t)
+        # keep only this chip's rows
+        n_local = codes_local.shape[0]
+        me = jax.lax.axis_index("d")
+        return jax.lax.dynamic_slice(tags, (me * n_local,), (n_local,))
+
+    build_fn = jax.jit(shard_map(
+        _build, mesh=mesh,
+        in_specs=(P(None, "d"), P()),
+        out_specs=P(None, "d")),
+        donate_argnums=(0,))
+    search_fn = jax.jit(shard_map(
+        _search, mesh=mesh,
+        in_specs=(P(None, "d"), P("d", None)),
+        out_specs=P("d")))
+    return build_fn, search_fn
+
+
+@functools.partial(jax.jit, static_argnames=("mesh_axis",))
+def popcount_psum(tags, mesh_axis: str = "d"):
+    """Per-shard tag count merged across the mesh (matrix cell merge)."""
+    return tags.sum(dtype=jnp.int32)
+
+
+def full_pair_step(mesh: Mesh, k: int, t: int):
+    """One complete pair-comparison step over the mesh: build the sharded
+    planes from an index batch, classify a query batch, psum the shared-read
+    count. This is the multi-chip 'training step' equivalent."""
+    build_fn, search_fn = build_search_step(mesh, k, t)
+
+    def step(planes, index_codes, query_codes):
+        planes = build_fn(planes, index_codes)
+        tags = search_fn(planes, query_codes)
+        return planes, tags, tags.sum(dtype=jnp.int32)
+
+    return step
