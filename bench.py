@@ -2,34 +2,53 @@
 probe, t=2) on one chip, vs the measured single-core C++ reference.
 
 Baseline protocol (BASELINE.md): the reference index_and_search compiled
-with -O3 (gcc) searching a synthetic 110bp workload, single thread; its
-search-phase reads/s is recorded below (measured on this machine; see
-tests/golden + PROGRESS notes).
+with -O3 (gcc) searching the same synthetic workload, single thread,
+search-phase time from its own log. Measured on this machine 2026-08-17:
+262144 reads / 1.16638 s = 224,750 reads/s (k=32, t=2, 110bp, 50% positives
+implanted as 2k-base fragments).
 
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/base}
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-# Measured single-core C++ reference throughput for the same workload shape
-# (k=32, t=2, 110bp reads, ~50% positive rate). See bench_baseline.py for the
-# measurement script.
-BASELINE_READS_PER_SEC = 119_000.0
+BASELINE_READS_PER_SEC = 224_750.0
+# C++ reference index build on the same workload: 100k reads / 44.18 s
+# (dominated by its per-pair 2 GiB calloc + page-faulted scatter writes)
+BASELINE_BUILD_READS_PER_SEC = 100_000 / 44.18
 
 K = 32
 T = 2
 READ_LEN = 110
 N_INDEX = 100_000
-N_QUERY = 262_144
+N_QUERY = 131_072
 BATCH = 8_192
 
 
-def synth_reads(rng, n, length):
-    return rng.integers(0, 4, size=(n, length), dtype=np.int32)
+def log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def synth_workload(rng):
+    index_codes = rng.integers(0, 4, size=(N_INDEX, READ_LEN), dtype=np.int8)
+    query = rng.integers(0, 4, size=(N_QUERY, READ_LEN), dtype=np.int8)
+    # implant 2k-long index fragments (2 non-overlapping shared k-mers ->
+    # tagged at t=2) into half the queries; same shape as the C++ baseline
+    # measurement workload
+    half = N_QUERY // 2
+    frag = 2 * K
+    donors = rng.integers(0, N_INDEX, size=half)
+    dstarts = rng.integers(0, READ_LEN - frag + 1, size=half)
+    qstarts = rng.integers(0, READ_LEN - frag + 1, size=half)
+    rows = np.arange(half)[:, None]
+    query[rows, qstarts[:, None] + np.arange(frag)] = \
+        index_codes[donors[:, None], dstarts[:, None] + np.arange(frag)]
+    return index_codes, query
 
 
 def main():
@@ -38,48 +57,55 @@ def main():
 
     from commet_tpu.core import kernels
 
+    log(f"device: {jax.devices()[0]}")
     rng = np.random.default_rng(42)
-    index_codes = synth_reads(rng, N_INDEX, READ_LEN)
-    query = synth_reads(rng, N_QUERY, READ_LEN)
-    # implant index k-mers in half the queries so the workload mixes hits
-    # and misses like a real comparison
-    half = N_QUERY // 2
-    donors = rng.integers(0, N_INDEX, size=half)
-    starts = rng.integers(0, READ_LEN - K + 1, size=half)
-    for i in range(half):
-        s = starts[i]
-        query[i, s : s + K] = index_codes[donors[i], s : s + K]
-
+    t0 = time.time()
+    index_codes, query = synth_workload(rng)
     lpad = -(-READ_LEN // 32) * 32
-    pad = np.full((N_INDEX, lpad - READ_LEN), 4, dtype=np.int32)
-    index_codes = np.concatenate([index_codes, pad], axis=1)
-    qpad = np.full((N_QUERY, lpad - READ_LEN), 4, dtype=np.int32)
-    query = np.concatenate([query, qpad], axis=1)
+    pad_cols = lpad - READ_LEN
+    index_codes = np.pad(index_codes, ((0, 0), (0, pad_cols)),
+                         constant_values=4)
+    query = np.pad(query, ((0, 0), (0, pad_cols)), constant_values=4)
+    log(f"workload generated in {time.time()-t0:.1f}s")
 
+    @jax.jit
+    def to_i32(x):
+        return x.astype(jnp.int32)
+
+    planes = kernels.alloc_planes(K)
+    # compile both kernels first (excluded from timings)
+    t0 = time.time()
+    cb = to_i32(jnp.asarray(index_codes[:BATCH]))
+    planes = kernels.build_chunk(planes, cb, K)
+    np.asarray(planes[:1])
+    log(f"build compile+first chunk {time.time()-t0:.1f}s")
+    t0 = time.time()
+    qb0 = to_i32(jnp.asarray(query[:BATCH]))
+    tg, _ = kernels.search_batch(planes, qb0, K, T)
+    np.asarray(tg[:1])
+    log(f"search compile+first batch {time.time()-t0:.1f}s")
+
+    # ---------------- build ----------------
     planes = kernels.alloc_planes(K)
     t0 = time.time()
     for s in range(0, N_INDEX, BATCH):
-        planes = kernels.build_chunk(planes,
-                                     jnp.asarray(index_codes[s : s + BATCH]), K)
-    jax.block_until_ready(planes)
+        cb = to_i32(jnp.asarray(index_codes[s : s + BATCH]))
+        planes = kernels.build_chunk(planes, cb, K)
+    np.asarray(planes[:1])  # value fetch = honest barrier on this platform
     build_time = time.time() - t0
+    log(f"build: {N_INDEX} reads in {build_time:.2f}s")
 
-    qbatches = [jnp.asarray(query[s : s + BATCH])
+    # ---------------- search ----------------
+    qbatches = [to_i32(jnp.asarray(query[s : s + BATCH]))
                 for s in range(0, N_QUERY, BATCH)]
-    # warmup / compile
-    tagged, _ = kernels.search_batch(planes, qbatches[0], K, T)
-    jax.block_until_ready(tagged)
-
+    np.asarray(qbatches[-1][:1])
     t0 = time.time()
-    outs = []
-    for qb in qbatches:
-        tagged, _ = kernels.search_batch(planes, qb, K, T)
-        outs.append(tagged)
-    jax.block_until_ready(outs)
+    outs = [kernels.search_batch(planes, qb, K, T)[0] for qb in qbatches]
+    n_tagged = int(sum(int(np.asarray(o).sum()) for o in outs))
     dt = time.time() - t0
     reads_per_sec = N_QUERY / dt
+    log(f"search: {N_QUERY} reads in {dt:.2f}s, tagged {n_tagged}")
 
-    n_tagged = int(sum(np.asarray(o).sum() for o in outs))
     result = {
         "metric": "query_reads_per_sec_chip_k32_probe",
         "value": round(reads_per_sec, 1),
@@ -87,6 +113,9 @@ def main():
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
         "extra": {
             "build_time_s": round(build_time, 3),
+            "build_reads_per_sec": round(N_INDEX / build_time, 1),
+            "build_vs_baseline": round(
+                N_INDEX / build_time / BASELINE_BUILD_READS_PER_SEC, 2),
             "search_time_s": round(dt, 3),
             "n_query": N_QUERY,
             "tagged": n_tagged,

@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-from commet_tpu.core.filter import filter_reads
+from commet_tpu.core.filter import filter_reads_counts
 from commet_tpu.io.bv import BitVector
 from commet_tpu.io.reads import load_read_file
 
@@ -117,9 +117,11 @@ def main(argv=None) -> int:
         stats = {"nb_rm_length": 0, "nb_rm_N": 0, "nb_rm_shannon": 0,
                  "nb_selected": 0}
     else:
-        keep, stats = filter_reads(rf.seqs, min_size=min_size, max_n=max_n,
-                                   min_shannon=min_shannon,
-                                   max_reads=max_reads_eff)
+        counts, lengths = rf.class_counts()
+        keep, stats = filter_reads_counts(counts, lengths, min_size=min_size,
+                                          max_n=max_n,
+                                          min_shannon=min_shannon,
+                                          max_reads=max_reads_eff)
 
     bv = BitVector.from_bool_array(keep)
     bv.comment = build_comment(input_file_name, min_size, max_n,

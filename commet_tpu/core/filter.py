@@ -38,7 +38,7 @@ def shannon_index(counts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         # float32 log via correctly-rounded double log (== glibc logf)
         with np.errstate(divide="ignore", invalid="ignore"):
             logf = np.log(freq.astype(np.float64)).astype(np.float32)
-        prod32 = (freq * logf).astype(np.float32)          # float * float
+            prod32 = (freq * logf).astype(np.float32)      # float * float
         term = prod32.astype(np.float64) / _LOG2           # / log(2) in double
         nz = freq != 0
         index = np.where(nz,
@@ -71,10 +71,20 @@ def class_counts(seqs: List[bytes]) -> Tuple[np.ndarray, np.ndarray]:
 def filter_reads(seqs: List[bytes], min_size: int = 0,
                  max_n: int = 2**31 - 1, min_shannon: float = 0.0,
                  max_reads: int = -1):
-    """Returns (keep: bool [N], stats dict). Reference order of tests and
-    the max-reads tail cut (filter_reads.cpp:188-205)."""
+    """Filter from raw sequences (python-parsed path)."""
     counts, lengths = class_counts(seqs)
-    n = len(seqs)
+    return filter_reads_counts(counts, lengths, min_size=min_size,
+                               max_n=max_n, min_shannon=min_shannon,
+                               max_reads=max_reads)
+
+
+def filter_reads_counts(counts: np.ndarray, lengths: np.ndarray,
+                        min_size: int = 0, max_n: int = 2**31 - 1,
+                        min_shannon: float = 0.0, max_reads: int = -1):
+    """Returns (keep: bool [N], stats dict). Reference order of tests and
+    the max-reads tail cut (filter_reads.cpp:188-205). Operates purely on
+    per-read class counts + lengths (native-parser friendly)."""
+    n = len(lengths)
 
     # Reference quirk (filter_reads.cpp:188): the loop stops at the first
     # EMPTY read; later reads are never examined and stay selected (the

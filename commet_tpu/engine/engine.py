@@ -66,13 +66,29 @@ class EncodedSet:
 
     def gather_batch(self, idx: np.ndarray, lpad: int) -> np.ndarray:
         """Pack reads (file_idx, read_pos) pairs into a [B, lpad] uint8 code
-        array (pad value INVALID)."""
+        array (pad value INVALID). Uses the native batch assembler when
+        available."""
+        try:
+            from commet_tpu.native import parser as native
+            have_native = native.available()
+        except Exception:
+            have_native = False
         b = len(idx)
         out = np.full((b, lpad), kernels.INVALID_CODE, dtype=np.uint8)
-        for row, (fi, pos) in enumerate(idx):
-            off = self.offsets[fi][pos]
-            ln = min(int(self.lengths[fi][pos]), lpad)
-            out[row, :ln] = self.flat_codes[fi][off : off + ln]
+        for fi in range(len(self.flat_codes)):
+            rows = np.nonzero(idx[:, 0] == fi)[0]
+            if len(rows) == 0:
+                continue
+            pos = idx[rows, 1]
+            if have_native:
+                out[rows] = native.gather_batch(
+                    self.flat_codes[fi], self.offsets[fi], self.lengths[fi],
+                    pos, lpad)
+            else:
+                for r, p in zip(rows, pos):
+                    off = self.offsets[fi][p]
+                    ln = min(int(self.lengths[fi][p]), lpad)
+                    out[r, :ln] = self.flat_codes[fi][off : off + ln]
         return out
 
     def read_lengths(self, idx: np.ndarray) -> np.ndarray:

@@ -1,5 +1,12 @@
 """Host-side read-file layer: fasta/fastq (+gzip) parsing and 2-bit encoding.
 
+Two parser backends with identical semantics:
+  - native C++ (commet_tpu/native/libcommet_io.so, built on demand): parses,
+    2-bit-encodes and per-read class-counts in one pass - the production
+    data plane feeding the TPU kernels;
+  - pure Python fallback (and the provider of full record text for
+    extract_reads-style materialization).
+
 Parsing semantics are byte-compatible with the reference readers:
   - format sniffing by the first byte, '>' = fasta, '@' = fastq, else try
     gzip and sniff the decompressed first byte
@@ -21,17 +28,18 @@ from __future__ import annotations
 
 import gzip
 import os
-from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from commet_tpu.io.bv import BitVector
 
 try:  # optional fast C++ parser (commet_tpu/native)
-    from commet_tpu.native import parser as _native_parser
-except Exception:  # pragma: no cover - native lib not built
-    _native_parser = None
+    from commet_tpu.native import parser as _native
+    _HAVE_NATIVE = _native.available()
+except Exception:  # pragma: no cover - native lib not buildable
+    _native = None
+    _HAVE_NATIVE = False
 
 # byte -> 2-bit code LUT; 4 marks an invalid (non-ACGT) byte
 CODE_LUT = np.full(256, 4, dtype=np.uint8)
@@ -52,21 +60,21 @@ def _read_raw(path: str) -> bytes:
         return f.read()
 
 
-def sniff_format(path: str) -> str:
-    """Return 'fasta' or 'fastq' using the reference's first-byte sniffing
-    (file_manager.h:117-157)."""
+def sniff_format(path: str) -> Tuple[str, bool]:
+    """Return ('fasta'|'fastq', gzipped) using the reference's first-byte
+    sniffing (file_manager.h:117-157)."""
     with open(path, "rb") as f:
         c = f.read(1)
     if c == b">":
-        return "fasta"
+        return "fasta", False
     if c == b"@":
-        return "fastq"
+        return "fastq", False
     with gzip.open(path, "rb") as f:
         c = f.read(1)
     if c == b">":
-        return "fasta"
+        return "fasta", True
     if c == b"@":
-        return "fastq"
+        return "fastq", True
     raise ValueError(f"Unknown format: {path}")
 
 
@@ -130,69 +138,112 @@ def parse_fastq(raw: bytes):
     return seqs, recs
 
 
-@dataclass
 class ReadFile:
-    """One read file: sequences + the per-read *filter* bit vector.
+    """One read file: encoded reads + the per-read *filter* bit vector.
 
     Mirrors the reference ReadFile (include/read_file.h:35): ``filter_bv``
-    selects which reads exist for downstream consumers, ``result_bv`` (owned
-    by ReadSet) accumulates search tags.
+    selects which reads exist for downstream consumers; the result vector
+    (owned by ReadSet) accumulates search tags. Sequence/record text is
+    materialized lazily (only extract/save paths need it).
     """
 
-    path: str
-    fmt: str
-    seqs: List[bytes]
-    records: List[bytes]
-    filter_bv: BitVector
-    was_gzipped: bool = False
+    def __init__(self, path: str, bv_path: Optional[str] = None,
+                 use_native: Optional[bool] = None):
+        self.path = path
+        if use_native is None:
+            use_native = _HAVE_NATIVE
+        self._seqs: Optional[List[bytes]] = None
+        self._records: Optional[List[bytes]] = None
+        if use_native:
+            d = _native.parse_file(path)
+            self.fmt = d["format"]
+            self.was_gzipped = d["gzipped"]
+            self._codes = d["codes"]
+            self._offsets = d["offsets"]
+            self._lengths = d["lengths"]
+            self._class_counts = d["class_counts"]
+            self.nb_reads = d["n_reads"]
+        else:
+            self.fmt, self.was_gzipped = sniff_format(path)
+            raw = _read_raw(path)
+            seqs, recs = (parse_fasta(raw) if self.fmt == "fasta"
+                          else parse_fastq(raw))
+            self._seqs, self._records = seqs, recs
+            self.nb_reads = len(seqs)
+            self._codes = None
+            self._offsets = None
+            self._lengths = None
+            self._class_counts = None
 
-    # 2-bit encoded cache
-    _codes: Optional[np.ndarray] = field(default=None, repr=False)
-    _lengths: Optional[np.ndarray] = field(default=None, repr=False)
+        if bv_path:
+            bv = BitVector.read(bv_path)
+            if bv.size != self.nb_reads:
+                raise ValueError(
+                    f"Number of reads in {path} and boolean vector size are "
+                    f"not equal")
+        else:
+            bv = BitVector(self.nb_reads, fill=True)
+        self.filter_bv = bv
+
+    # ------------------------------------------------------------- lazy text
+    def _ensure_text(self) -> None:
+        if self._seqs is None:
+            raw = _read_raw(self.path)
+            self._seqs, self._records = (
+                parse_fasta(raw) if self.fmt == "fasta" else parse_fastq(raw))
 
     @property
-    def nb_reads(self) -> int:
-        return len(self.seqs)
+    def seqs(self) -> List[bytes]:
+        self._ensure_text()
+        return self._seqs
 
-    def nb_valid_reads(self) -> int:
-        return self.filter_bv.nb_one()
+    @property
+    def records(self) -> List[bytes]:
+        self._ensure_text()
+        return self._records
 
-    def encoded(self):
-        """Returns (codes ragged list-free representation): a tuple
-        (flat_codes uint8, offsets int64, lengths int32) over ALL reads."""
+    # ---------------------------------------------------------- encoded view
+    def _ensure_encoded(self) -> None:
         if self._codes is None:
-            if self.seqs:
-                lengths = np.fromiter((len(s) for s in self.seqs), dtype=np.int32,
-                                      count=len(self.seqs))
-                flat = np.frombuffer(b"".join(self.seqs), dtype=np.uint8)
+            seqs = self.seqs
+            if seqs:
+                lengths = np.fromiter((len(s) for s in seqs), dtype=np.int32,
+                                      count=len(seqs))
+                flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
                 self._codes = CODE_LUT[flat]
             else:
                 lengths = np.zeros(0, dtype=np.int32)
                 self._codes = np.zeros(0, dtype=np.uint8)
             self._lengths = lengths
-        offsets = np.zeros(len(self._lengths) + 1, dtype=np.int64)
-        np.cumsum(self._lengths, out=offsets[1:])
-        return self._codes, offsets, self._lengths
+            self._offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=self._offsets[1:])
+
+    def encoded(self):
+        """(flat_codes uint8, offsets int64 [N+1], lengths int32 [N])."""
+        self._ensure_encoded()
+        return self._codes, self._offsets, self._lengths
+
+    def class_counts(self):
+        """Per-read (A,C,G,T,other) counts + lengths, for the filter."""
+        self._ensure_encoded()
+        if self._class_counts is None:
+            n = self.nb_reads
+            counts = np.zeros((n, 5), dtype=np.int64)
+            if n:
+                read_id = np.repeat(np.arange(n, dtype=np.int64),
+                                    self._lengths)
+                np.add.at(counts, (read_id, self._codes.astype(np.int64)), 1)
+            self._class_counts = counts
+        return self._class_counts, self._lengths.astype(np.int64)
+
+    def nb_valid_reads(self) -> int:
+        return self.filter_bv.nb_one()
 
 
 def load_read_file(path: str, bv_path: Optional[str] = None) -> ReadFile:
     """Open a read file, count reads, attach its filter bit vector
     (all-true when ``bv_path`` is None, reference fasta_file.h:49-116)."""
-    fmt = sniff_format(path)
-    with open(path, "rb") as f:
-        gz = f.read(1) not in (b">", b"@")
-    raw = _read_raw(path)
-    seqs, recs = parse_fasta(raw) if fmt == "fasta" else parse_fastq(raw)
-    if bv_path:
-        bv = BitVector.read(bv_path)
-        if bv.size != len(seqs):
-            raise ValueError(
-                f"Number of reads in {path} and boolean vector size are not equal"
-            )
-    else:
-        bv = BitVector(len(seqs), fill=True)
-    return ReadFile(path=path, fmt=fmt, seqs=seqs, records=recs,
-                    filter_bv=bv, was_gzipped=gz)
+    return ReadFile(path, bv_path)
 
 
 def basename(path: str) -> str:
@@ -230,7 +281,8 @@ class ReadSet:
         out = []
         for fi, f in enumerate(self.files):
             pos = np.nonzero(f.filter_bv.as_bool_array())[0]
-            out.append(np.stack([np.full(len(pos), fi, dtype=np.int64), pos], axis=1))
+            out.append(np.stack([np.full(len(pos), fi, dtype=np.int64), pos],
+                                axis=1))
         if not out:
             return np.zeros((0, 2), dtype=np.int64)
         return np.concatenate(out, axis=0)
@@ -240,9 +292,11 @@ class ReadSet:
         file_manager.h:99-109)."""
         out = []
         for fi, f in enumerate(self.files):
-            mask = f.filter_bv.as_bool_array() & ~self.result_bvs[fi].as_bool_array()
+            mask = (f.filter_bv.as_bool_array()
+                    & ~self.result_bvs[fi].as_bool_array())
             pos = np.nonzero(mask)[0]
-            out.append(np.stack([np.full(len(pos), fi, dtype=np.int64), pos], axis=1))
+            out.append(np.stack([np.full(len(pos), fi, dtype=np.int64), pos],
+                                axis=1))
         if not out:
             return np.zeros((0, 2), dtype=np.int64)
         return np.concatenate(out, axis=0)
@@ -263,6 +317,7 @@ class ReadSet:
         """Write per-file result vectors as <dir>/<basename>_in_<suffix>.bv
         with comment '<path> in <suffix>' (file_manager.h:245-252)."""
         for f, r in zip(self.files, self.result_bvs):
-            out = os.path.join(directory, basename(f.path) + "_in_" + suffix + ".bv")
+            out = os.path.join(directory, basename(f.path) + "_in_" + suffix
+                               + ".bv")
             r.comment = f.path + " in " + suffix
             r.write(out)

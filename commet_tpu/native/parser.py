@@ -1,0 +1,109 @@
+"""ctypes bindings for the native IO library (libcommet_io.so).
+
+Builds lazily with `make -C commet_tpu/native` if the shared object is
+missing; callers fall back to the pure-Python parser when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "libcommet_io.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True)
+        except Exception as exc:  # pragma: no cover
+            raise OSError(f"cannot build native io library: {exc}")
+    lib = ctypes.CDLL(_SO)
+    lib.cio_parse.restype = ctypes.c_void_p
+    lib.cio_parse.argtypes = [ctypes.c_char_p]
+    for name, res in (("cio_n_reads", ctypes.c_int64),
+                      ("cio_total_bases", ctypes.c_int64),
+                      ("cio_format", ctypes.c_int),
+                      ("cio_gzipped", ctypes.c_int)):
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = [ctypes.c_void_p]
+    for name, typ in (("cio_codes", ctypes.c_uint8),
+                      ("cio_offsets", ctypes.c_int64),
+                      ("cio_lengths", ctypes.c_int32),
+                      ("cio_class_counts", ctypes.c_int64)):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(typ)
+        fn.argtypes = [ctypes.c_void_p]
+    lib.cio_free.argtypes = [ctypes.c_void_p]
+    lib.cio_gather_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except OSError:
+        return False
+
+
+def parse_file(path: str):
+    """Parse + encode a read file natively. Returns a dict with numpy views
+    (copies) of codes/offsets/lengths/class_counts plus format info."""
+    lib = _load()
+    h = lib.cio_parse(path.encode())
+    if not h:
+        raise ValueError(f"Unknown format or unreadable file: {path}")
+    try:
+        n = lib.cio_n_reads(h)
+        total = lib.cio_total_bases(h)
+        codes = np.ctypeslib.as_array(lib.cio_codes(h), shape=(total,)).copy() \
+            if total else np.zeros(0, dtype=np.uint8)
+        offsets = np.ctypeslib.as_array(lib.cio_offsets(h), shape=(n + 1,)).copy()
+        lengths = (np.ctypeslib.as_array(lib.cio_lengths(h), shape=(n,)).copy()
+                   if n else np.zeros(0, dtype=np.int32))
+        counts = (np.ctypeslib.as_array(lib.cio_class_counts(h),
+                                        shape=(n, 5)).copy()
+                  if n else np.zeros((0, 5), dtype=np.int64))
+        return {
+            "n_reads": int(n),
+            "codes": codes,
+            "offsets": offsets,
+            "lengths": lengths,
+            "class_counts": counts,
+            "format": "fasta" if lib.cio_format(h) == 1 else "fastq",
+            "gzipped": bool(lib.cio_gzipped(h)),
+        }
+    finally:
+        lib.cio_free(h)
+
+
+def gather_batch(codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
+                 idx: np.ndarray, lpad: int) -> np.ndarray:
+    """Native padded batch assembly (pad value 4 = invalid)."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    out = np.empty((len(idx), lpad), dtype=np.uint8)
+    lib.cio_gather_batch(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idx), lpad,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out

@@ -1,0 +1,57 @@
+"""Multi-device sharded execution must match single-device kernels exactly,
+on an 8-way virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from commet_tpu.core import kernels
+from commet_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return sharded.make_mesh(8)
+
+
+@pytest.mark.parametrize("k", [15, 18])
+def test_sharded_matches_single(mesh, k):
+    t = 2
+    rng = np.random.default_rng(5)
+    n, lpad = 64, 96
+    # ~10% invalid to exercise run resets
+    idx_codes = rng.integers(0, 4, size=(n, lpad)).astype(np.int32)
+    qry_codes = rng.integers(0, 4, size=(n, lpad)).astype(np.int32)
+    qry_codes[rng.random(size=qry_codes.shape) < 0.05] = 4
+    qry_codes[: n // 2, 20 : 20 + 2 * k] = idx_codes[: n // 2, 8 : 8 + 2 * k]
+
+    # single-device reference
+    p1 = kernels.build_chunk(kernels.alloc_planes(k), jnp.asarray(idx_codes), k)
+    tag1, _ = kernels.search_batch(p1, jnp.asarray(qry_codes), k, t)
+
+    # sharded
+    planes = sharded.alloc_planes_sharded(k, mesh)
+    build_fn, search_fn = sharded.build_search_step(mesh, k, t)
+    planes = build_fn(planes, jnp.asarray(idx_codes))
+    tag8 = search_fn(planes, jnp.asarray(qry_codes))
+
+    assert (np.asarray(tag8) == np.asarray(tag1)).all()
+    # plane contents identical too (concatenated shards == flat planes)
+    flat8 = np.asarray(planes).reshape(-1)
+    assert (flat8 == np.asarray(p1)).all()
+
+
+def test_dryrun_multichip():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (args[1].shape[0],)
