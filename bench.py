@@ -52,6 +52,9 @@ def synth_workload(rng):
 
 
 def main():
+    from commet_tpu.config import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -72,20 +75,21 @@ def main():
     def to_i32(x):
         return x.astype(jnp.int32)
 
-    planes = kernels.alloc_planes(K)
-    # compile both kernels first (excluded from timings)
+    # ---------------- build (on-device; host->device uplink is ~40 MB/s on
+    # the tunneled platform, so shipping 2 GiB of host-built planes loses to
+    # building from the 4 MB/batch code stream) ----------------
     t0 = time.time()
+    planes = kernels.alloc_planes(K)
     cb = to_i32(jnp.asarray(index_codes[:BATCH]))
     planes = kernels.build_chunk(planes, cb, K)
     np.asarray(planes[:1])
-    log(f"build compile+first chunk {time.time()-t0:.1f}s")
+    log(f"build compile+first chunk {time.time()-t0:.1f}s (cached after 1st run)")
     t0 = time.time()
     qb0 = to_i32(jnp.asarray(query[:BATCH]))
     tg, _ = kernels.search_batch(planes, qb0, K, T)
     np.asarray(tg[:1])
     log(f"search compile+first batch {time.time()-t0:.1f}s")
 
-    # ---------------- build ----------------
     planes = kernels.alloc_planes(K)
     t0 = time.time()
     for s in range(0, N_INDEX, BATCH):

@@ -140,6 +140,8 @@ def output_matrices(read_matrix, bv_matrix, names, out_dir, plots=True):
 
 
 def main(argv=None) -> int:
+    from commet_tpu.config import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="Computes the filtering and the full N x N intersections "
                     "of read sets (TPU-native)")

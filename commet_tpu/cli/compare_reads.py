@@ -22,6 +22,8 @@ def _load(name, entries):
 
 
 def main(argv=None) -> int:
+    from commet_tpu.config import enable_compile_cache
+    enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
     index_file_list = ""
     search_file_list = ""

@@ -25,6 +25,8 @@ def load_set(name: str, entries) -> ReadSet:
 
 
 def main(argv=None) -> int:
+    from commet_tpu.config import enable_compile_cache
+    enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
     index_file_list = ""
     search_file_list = ""

@@ -124,9 +124,26 @@ class Engine:
                 codes = np.concatenate([codes, pad], axis=0)
             yield slice(start, start + len(chunk)), codes
 
+    @staticmethod
+    def _native():
+        try:
+            from commet_tpu.native import parser as native
+            return native if native.available() else None
+        except Exception:
+            return None
+
     def count_kmers(self, enc: EncodedSet, idx: np.ndarray) -> np.ndarray:
         """Per-read complete-window counts for the partitioning cursor."""
+        native = self._native()
         out = np.zeros(len(idx), dtype=np.int64)
+        if native is not None:
+            for fi in range(len(enc.flat_codes)):
+                rows = np.nonzero(idx[:, 0] == fi)[0]
+                if len(rows):
+                    out[rows] = native.count_kmers(
+                        enc.flat_codes[fi], enc.offsets[fi], enc.lengths[fi],
+                        idx[rows, 1], self.k)
+            return out
         for sl, codes in self._batched_codes(enc, idx):
             cnt = kernels.count_kmers(jnp.asarray(codes, dtype=jnp.int32), self.k)
             out[sl] = np.asarray(cnt)[: sl.stop - sl.start]
@@ -169,6 +186,30 @@ class Engine:
 
     # ------------------------------------------------------------ main flow
     def build_planes(self, planes, enc: EncodedSet, idx: np.ndarray):
+        """Feed every window of the partition's reads into the planes.
+
+        Default path: native host build (cache-friendly random bitset
+        writes) + one upload; random single-bit scatter is the TPU's worst
+        access pattern (~65M descriptors/s measured on v5e) while the host
+        sustains it easily. Device scatter path kept as fallback.
+        """
+        native = self._native()
+        # host build + upload only pays off when the "upload" is a local
+        # memcpy (CPU backend); on the tunneled TPU the ~40 MB/s uplink makes
+        # shipping multi-GiB planes slower than device-side construction
+        on_cpu = jax.devices()[0].platform == "cpu"
+        if native is not None and self.k >= 5 and on_cpu:
+            planes_np = np.zeros(4 * kernels.plane_words(self.k),
+                                 dtype=np.uint32)
+            for fi in range(len(enc.flat_codes)):
+                rows = np.nonzero(idx[:, 0] == fi)[0]
+                if len(rows):
+                    native.build_planes_into(
+                        planes_np, enc.flat_codes[fi], enc.offsets[fi],
+                        enc.lengths[fi], idx[rows, 1], self.k)
+            return jnp.asarray(planes_np)
+        if planes is None:
+            planes = kernels.alloc_planes(self.k)
         for _, codes in self._batched_codes(enc, idx):
             planes = kernels.build_chunk(planes, jnp.asarray(codes, jnp.int32),
                                          self.k)
@@ -211,8 +252,7 @@ class Engine:
         planes = None
         for part in parts:
             t0 = time.time()
-            planes = kernels.alloc_planes(self.k)
-            planes = self.build_planes(planes, enc_index, elig[part])
+            planes = self.build_planes(None, enc_index, elig[part])
             jax.block_until_ready(planes)
             index_time += time.time() - t0
             nb_indexed += len(part)

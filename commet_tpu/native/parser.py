@@ -50,6 +50,14 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    lib.cio_build_planes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.cio_count_kmers.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return lib
 
@@ -91,6 +99,40 @@ def parse_file(path: str):
         }
     finally:
         lib.cio_free(h)
+
+
+def build_planes_into(planes: np.ndarray, codes: np.ndarray,
+                      offsets: np.ndarray, lengths: np.ndarray,
+                      idx: np.ndarray, k: int) -> None:
+    """OR every complete forward window of reads ``idx`` into ``planes``
+    (uint32 [4 * 2^(k-5)] viewed as bytes). Requires k >= 5."""
+    assert k >= 5
+    lib = _load()
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    pview = planes.view(np.uint8)
+    lib.cio_build_planes(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idx), k,
+        pview.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+
+def count_kmers(codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
+                idx: np.ndarray, k: int) -> np.ndarray:
+    lib = _load()
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    out = np.zeros(len(idx), dtype=np.int64)
+    if len(idx):
+        lib.cio_count_kmers(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx), k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
 
 
 def gather_batch(codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,

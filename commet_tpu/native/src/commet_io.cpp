@@ -200,4 +200,72 @@ void cio_gather_batch(const uint8_t* codes, const int64_t* offsets,
   }
 }
 
+// Build the 4 membership planes from 2-bit-coded reads (forward strand,
+// every complete window - reference include/index_reads.h:49-61). Plane
+// layout matches the device kernels (commet_tpu/core/kernels.py): plane p is
+// a dense 2^k-bit bitmap at byte offset p * 2^(k-3); key value v -> byte
+// v>>3, bit v&7 (little-endian uint32 word view equivalence).
+//
+// Random single-bit writes into a multi-GiB table are descriptor-rate-bound
+// on the TPU (~65M lookups/s measured on v5e) but cache-miss-bound on the
+// host CPU; building here and uploading once per partition is the faster
+// and simpler data path.
+void cio_build_planes(const uint8_t* codes, const int64_t* offsets,
+                      const int32_t* lengths, const int64_t* idx,
+                      int64_t n_idx, int k, uint8_t* planes) {
+  const uint64_t mask = (k < 64) ? ((1ULL << k) - 1) : ~0ULL;
+  const size_t plane_bytes = ((size_t)1) << (k - 3);
+  uint8_t* pa = planes;
+  uint8_t* pb = planes + plane_bytes;
+  uint8_t* pc = planes + 2 * plane_bytes;
+  uint8_t* pd = planes + 3 * plane_bytes;
+  for (int64_t r = 0; r < n_idx; r++) {
+    int64_t read = idx[r];
+    const uint8_t* seq = codes + offsets[read];
+    int32_t len = lengths[read];
+    uint64_t ka = 0, kb = 0;
+    int run = 0;
+    for (int32_t i = 0; i < len; i++) {
+      uint8_t c = seq[i];
+      if (c >= 4) {
+        run = 0;
+        ka = kb = 0;
+        continue;
+      }
+      ka = ((ka << 1) | (c >> 1)) & mask;
+      kb = ((kb << 1) | (c & 1)) & mask;
+      if (++run >= k) {
+        uint64_t kc = ka ^ kb;
+        uint64_t kd = ka | kb;
+        pa[ka >> 3] |= (uint8_t)(1u << (ka & 7));
+        pb[kb >> 3] |= (uint8_t)(1u << (kb & 7));
+        pc[kc >> 3] |= (uint8_t)(1u << (kc & 7));
+        pd[kd >> 3] |= (uint8_t)(1u << (kd & 7));
+      }
+    }
+  }
+}
+
+// Count complete windows per read (partition cursor arithmetic,
+// reference index_reads.h:55-58).
+void cio_count_kmers(const uint8_t* codes, const int64_t* offsets,
+                     const int32_t* lengths, const int64_t* idx,
+                     int64_t n_idx, int k, int64_t* out) {
+  for (int64_t r = 0; r < n_idx; r++) {
+    int64_t read = idx[r];
+    const uint8_t* seq = codes + offsets[read];
+    int32_t len = lengths[read];
+    int run = 0;
+    int64_t n = 0;
+    for (int32_t i = 0; i < len; i++) {
+      if (seq[i] >= 4) {
+        run = 0;
+      } else if (++run >= k) {
+        n++;
+      }
+    }
+    out[r] = n;
+  }
+}
+
 }  // extern "C"

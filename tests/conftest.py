@@ -16,4 +16,8 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+from commet_tpu.config import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 REFERENCE_DIR = "/root/reference"
