@@ -139,6 +139,104 @@ def output_matrices(read_matrix, bv_matrix, names, out_dir, plots=True):
         print(f"\t\t{out_dir}matrix_{kind}.csv")
 
 
+def _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng, jobs):
+    """Execute the pair-comparison rounds as a dependency DAG (the
+    reference's SGE hold_jid chains, Commet.py:186-240, run in-process).
+    Steps within a round chain strictly; rounds for different ref sets only
+    share the filter prerequisites, mirroring the reference ordering."""
+    from commet_tpu.engine.scheduler import JobGraph
+
+    g = JobGraph(workers=jobs)
+
+    def make_round(ref_id):
+        def step0():
+            index_set = _load_set(names[ref_id], read_matrix[ref_id],
+                                  bv_matrix[ref_id])
+            queries = [_load_set(names[j], read_matrix[j], bv_matrix[j])
+                       for j in range(ref_id + 1, len(names))]
+            eng.index_and_search(index_set, queries, out_dir=out_dir,
+                                 log_dir=out_dir)
+        root = g.add(f"all_in_{ref_id}", step0, device=True)
+        for j in range(ref_id + 1, len(names)):
+            def step_a(j=j):
+                x_bvs = [out_dir + os.path.basename(f) + "_in_"
+                         + os.path.basename(names[ref_id]) + ".bv"
+                         for f in read_matrix[j]]
+                x_narrow = _load_set(names[j], read_matrix[j], x_bvs)
+                si = _load_set(names[ref_id], read_matrix[ref_id],
+                               bv_matrix[ref_id])
+                eng.index_and_search(x_narrow, [si], out_dir=out_dir,
+                                     log_dir=out_dir)
+
+            def step_b(j=j):
+                si_bvs = [out_dir + os.path.basename(f) + "_in_"
+                          + os.path.basename(names[j]) + ".bv"
+                          for f in read_matrix[ref_id]]
+                si_narrow = _load_set(names[ref_id], read_matrix[ref_id],
+                                      si_bvs)
+                x_full = _load_set(names[j], read_matrix[j], bv_matrix[j])
+                eng.index_and_search(si_narrow, [x_full], out_dir=out_dir,
+                                     log_dir=out_dir)
+
+            # pairs fan out independently after step 0, like the reference's
+            # per-pair hold_jid chains (Commet.py:224,236)
+            a = g.add(f"{ref_id}_in_{j}", step_a, deps=[root], device=True)
+            g.add(f"{j}_in_{ref_id}", step_b, deps=[a], device=True)
+
+    for ref_id in range(end):
+        make_round(ref_id)
+    g.run()
+
+
+def output_vectors(read_matrix, bv_matrix, names, out_dir):
+    """one_vs_all outputs: vector_plain.csv / vector_percentage.csv
+    (Commet.py:355-433, reproduced literally including the
+    'shared/reverse' cell format)."""
+    number_reads_all_sets = [sum(bv_count(b) for b in bv_matrix[i])
+                             for i in range(len(names))]
+
+    vector_sum_shared_reads = []
+    array_sum_shared_reads = []
+    for j in range(len(names)):
+        if j == 0:
+            array_sum_shared_reads.append(number_reads_all_sets[0])
+            continue
+        shared = sum(
+            bv_count(out_dir + os.path.basename(f) + "_in_" + names[j] + ".bv")
+            for f in read_matrix[0])
+        array_sum_shared_reads.append(shared)
+    vector_sum_shared_reads.append(array_sum_shared_reads)
+    vector_sum_shared_reads.append(number_reads_all_sets[0])
+    for i in range(1, len(names)):
+        shared = sum(
+            bv_count(out_dir + os.path.basename(f) + "_in_" + names[0] + ".bv")
+            for f in read_matrix[i])
+        vector_sum_shared_reads.append(shared)
+
+    with open(out_dir + "vector_plain.csv", "w") as f:
+        for name in names:
+            f.write(";" + name)
+        f.write("\n" + names[0])
+        for j in range(len(names)):
+            f.write(";" + str(vector_sum_shared_reads[0][j]) + "/"
+                    + str(vector_sum_shared_reads[j + 1]))
+        f.write("\n")
+
+    with open(out_dir + "vector_percentage.csv", "w") as f:
+        for name in names:
+            f.write(";" + name)
+        f.write("\n" + names[0])
+        for j in range(len(names)):
+            v1 = 100 * vector_sum_shared_reads[0][j] / float(number_reads_all_sets[0])
+            v2 = 100 * vector_sum_shared_reads[j + 1] / float(number_reads_all_sets[j])
+            f.write(";" + str(v1) + "/" + str(v2))
+        f.write("\n")
+
+    print("All Commet work is done")
+    print("\t\t" + out_dir + "vector_plain.csv")
+    print("\t\t" + out_dir + "vector_percentage.csv")
+
+
 def main(argv=None) -> int:
     from commet_tpu.config import enable_compile_cache
     enable_compile_cache()
@@ -158,6 +256,10 @@ def main(argv=None) -> int:
     parser.add_argument("-m", type=int, default=-1)
     parser.add_argument("--batch", type=int, default=4096,
                         help="device batch size (reads per search step)")
+    parser.add_argument("--jobs", type=int, default=1,
+                        help="run the pipeline as a dependency-scheduled job "
+                             "DAG with N host workers (the reference's --sge "
+                             "equivalent; device stages serialize)")
     args = parser.parse_args(argv)
 
     out_dir = args.directory
@@ -183,10 +285,18 @@ def main(argv=None) -> int:
 
     eng = Engine(k=k, t=t, batch=args.batch)
     end = 1 if args.one_vs_all else len(read_matrix) - 1
-    for ref_id in range(end):
-        compare_all_against(read_matrix, bv_matrix, names, out_dir, ref_id, eng)
+    if args.jobs > 1:
+        _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng,
+                       args.jobs)
+    else:
+        for ref_id in range(end):
+            compare_all_against(read_matrix, bv_matrix, names, out_dir,
+                                ref_id, eng)
 
-    output_matrices(read_matrix, bv_matrix, names, out_dir, plots=args.plots)
+    if args.one_vs_all:
+        output_vectors(read_matrix, bv_matrix, names, out_dir)
+    else:
+        output_matrices(read_matrix, bv_matrix, names, out_dir, plots=args.plots)
     return 0
 
 

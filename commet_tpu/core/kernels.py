@@ -67,7 +67,9 @@ def window_scan(codes: jax.Array, k: int):
     codes_t = codes.T.astype(jnp.int32)  # [L, N]
 
     u32 = jnp.uint32
-    zero = jnp.zeros((n,), dtype=u32)
+    # derive the zero carry from the data so the scan carry keeps the same
+    # varying-axes type under shard_map (constant-folded by XLA otherwise)
+    zero = (codes_t[0] * 0).astype(u32)
     hi_mask = u32((1 << (k - 32)) - 1) if k > 32 else u32(0)
     lo_mask = u32((1 << k) - 1) if k < 32 else u32(0xFFFFFFFF)
 
@@ -111,7 +113,7 @@ def window_scan(codes: jax.Array, k: int):
         out = carry[:8] + (ok,)
         return carry, out
 
-    init = (zero,) * 8 + (jnp.zeros((n,), dtype=jnp.int32),)
+    init = (zero,) * 8 + (zero.astype(jnp.int32),)
     _, outs = jax.lax.scan(step, init, codes_t)
     names = ("fa_lo", "fa_hi", "fb_lo", "fb_hi",
              "ra_lo", "ra_hi", "rb_lo", "rb_hi", "ok")
@@ -176,7 +178,8 @@ def _greedy_count(member, ok, k: int, t: int):
         return (cnt, allow), None
 
     idx = jnp.arange(length, dtype=jnp.int32)
-    init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+    zero = mem_t[0].astype(jnp.int32) * 0  # data-derived for shard_map vma
+    init = (zero, zero)
     (cnt, _), _ = jax.lax.scan(
         step, init,
         (mem_t, ok_t, idx))
@@ -276,6 +279,5 @@ def count_kmers(codes: jax.Array, k: int):
         run = jnp.where(c < INVALID_CODE, run + 1, 0)
         return run, run >= k
 
-    n = codes.shape[0]
-    _, oks = jax.lax.scan(step, jnp.zeros((n,), jnp.int32), codes_t)
+    _, oks = jax.lax.scan(step, codes_t[0] * 0, codes_t)
     return oks.sum(axis=0, dtype=jnp.int32).T
