@@ -86,7 +86,9 @@ def main():
     log(f"build compile+first chunk {time.time()-t0:.1f}s (cached after 1st run)")
     t0 = time.time()
     qb0 = to_i32(jnp.asarray(query[:BATCH]))
-    tg, _ = kernels.search_batch(planes, qb0, K, T)
+    tg = kernels.search_batch_fwd(planes, qb0, K, T)
+    np.asarray(tg[:1])
+    tg = kernels.search_batch_rc(planes, qb0, K, T)
     np.asarray(tg[:1])
     log(f"search compile+first batch {time.time()-t0:.1f}s")
 
@@ -99,16 +101,32 @@ def main():
     build_time = time.time() - t0
     log(f"build: {N_INDEX} reads in {build_time:.2f}s")
 
-    # ---------------- search ----------------
+    # ---------------- search (fwd pass over all, rc pass over the
+    # fwd-untagged remainder, host-compacted - the engine's streaming flow)
     qbatches = [to_i32(jnp.asarray(query[s : s + BATCH]))
                 for s in range(0, N_QUERY, BATCH)]
     np.asarray(qbatches[-1][:1])
     t0 = time.time()
-    outs = [kernels.search_batch(planes, qb, K, T)[0] for qb in qbatches]
-    n_tagged = int(sum(int(np.asarray(o).sum()) for o in outs))
+    outs = [kernels.search_batch_fwd(planes, qb, K, T) for qb in qbatches]
+    tags = np.concatenate([np.asarray(o) for o in outs])
+    remaining = np.nonzero(~tags)[0]
+    rc_src = query[remaining]
+    rc_outs = []
+    for s in range(0, len(remaining), BATCH):
+        chunk = rc_src[s : s + BATCH]
+        if len(chunk) < BATCH:
+            chunk = np.pad(chunk, ((0, BATCH - len(chunk)), (0, 0)),
+                           constant_values=4)
+        rc_outs.append(kernels.search_batch_rc(
+            planes, to_i32(jnp.asarray(chunk)), K, T))
+    if rc_outs:
+        rc_tags = np.concatenate([np.asarray(o) for o in rc_outs])
+        tags[remaining] |= rc_tags[: len(remaining)]
+    n_tagged = int(tags.sum())
     dt = time.time() - t0
     reads_per_sec = N_QUERY / dt
-    log(f"search: {N_QUERY} reads in {dt:.2f}s, tagged {n_tagged}")
+    log(f"search: {N_QUERY} reads in {dt:.2f}s, tagged {n_tagged}, "
+        f"rc_pass {len(remaining)}")
 
     result = {
         "metric": "query_reads_per_sec_chip_k32_probe",

@@ -54,14 +54,15 @@ def alloc_planes(k: int):
 # Rolling window keys
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def window_scan(codes: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "strand"))
+def window_scan(codes: jax.Array, k: int, strand: str = "both"):
     """Compute per-position rolling keys for every window of length k.
 
     codes: [N, L] int32 with values 0..3 (A,C,G,T) or 4 (invalid).
     Returns dict of [N, L] arrays: fa/fb lo+hi forward keys, ra/rb lo+hi
     reverse-complement keys, and ok (bool: window of the k bases ending at
-    this position is complete & fully valid).
+    this position is complete & fully valid). ``strand`` ('both'|'fwd'|'rc')
+    drops the unused key carries for cheaper single-strand scans.
     """
     n, length = codes.shape
     codes_t = codes.T.astype(jnp.int32)  # [L, N]
@@ -73,51 +74,57 @@ def window_scan(codes: jax.Array, k: int):
     hi_mask = u32((1 << (k - 32)) - 1) if k > 32 else u32(0)
     lo_mask = u32((1 << k) - 1) if k < 32 else u32(0xFFFFFFFF)
 
+    do_fwd = strand in ("both", "fwd")
+    do_rc = strand in ("both", "rc")
+    fwd_names = ("fa_lo", "fa_hi", "fb_lo", "fb_hi")
+    rc_names = ("ra_lo", "ra_hi", "rb_lo", "rb_hi")
+    names = (fwd_names if do_fwd else ()) + (rc_names if do_rc else ())
+
     def step(carry, c):
-        fa_lo, fa_hi, fb_lo, fb_hi, ra_lo, ra_hi, rb_lo, rb_hi, run = carry
+        run = carry[-1]
+        keys = dict(zip(names, carry[:-1]))
         valid = c < INVALID_CODE
         cc = jnp.where(valid, c, 0)
-        ba = ((cc >> 1) & 1).astype(u32)
-        bb = (cc & 1).astype(u32)
-        comp = 3 - cc
-        rba = ((comp >> 1) & 1).astype(u32)
-        rbb = (comp & 1).astype(u32)
-
-        if k <= 32:
-            nfa_lo = ((fa_lo << 1) | ba) & lo_mask
-            nfb_lo = ((fb_lo << 1) | bb) & lo_mask
-            nfa_hi = fa_hi
-            nfb_hi = fb_hi
-            nra_lo = (ra_lo >> 1) | (rba << (k - 1))
-            nrb_lo = (rb_lo >> 1) | (rbb << (k - 1))
-            nra_hi = ra_hi
-            nrb_hi = rb_hi
-        else:
-            nfa_hi = ((fa_hi << 1) | (fa_lo >> 31)) & hi_mask
-            nfb_hi = ((fb_hi << 1) | (fb_lo >> 31)) & hi_mask
-            nfa_lo = fa_lo << 1 | ba
-            nfb_lo = fb_lo << 1 | bb
-            nra_lo = (ra_lo >> 1) | ((ra_hi & 1) << 31)
-            nrb_lo = (rb_lo >> 1) | ((rb_hi & 1) << 31)
-            nra_hi = (ra_hi >> 1) | (rba << (k - 33))
-            nrb_hi = (rb_hi >> 1) | (rbb << (k - 33))
+        new = {}
+        if do_fwd:
+            ba = ((cc >> 1) & 1).astype(u32)
+            bb = (cc & 1).astype(u32)
+            if k <= 32:
+                new["fa_lo"] = ((keys["fa_lo"] << 1) | ba) & lo_mask
+                new["fb_lo"] = ((keys["fb_lo"] << 1) | bb) & lo_mask
+                new["fa_hi"] = keys["fa_hi"]
+                new["fb_hi"] = keys["fb_hi"]
+            else:
+                new["fa_hi"] = ((keys["fa_hi"] << 1)
+                                | (keys["fa_lo"] >> 31)) & hi_mask
+                new["fb_hi"] = ((keys["fb_hi"] << 1)
+                                | (keys["fb_lo"] >> 31)) & hi_mask
+                new["fa_lo"] = keys["fa_lo"] << 1 | ba
+                new["fb_lo"] = keys["fb_lo"] << 1 | bb
+        if do_rc:
+            comp = 3 - cc
+            rba = ((comp >> 1) & 1).astype(u32)
+            rbb = (comp & 1).astype(u32)
+            if k <= 32:
+                new["ra_lo"] = (keys["ra_lo"] >> 1) | (rba << (k - 1))
+                new["rb_lo"] = (keys["rb_lo"] >> 1) | (rbb << (k - 1))
+                new["ra_hi"] = keys["ra_hi"]
+                new["rb_hi"] = keys["rb_hi"]
+            else:
+                new["ra_lo"] = (keys["ra_lo"] >> 1) | ((keys["ra_hi"] & 1) << 31)
+                new["rb_lo"] = (keys["rb_lo"] >> 1) | ((keys["rb_hi"] & 1) << 31)
+                new["ra_hi"] = (keys["ra_hi"] >> 1) | (rba << (k - 33))
+                new["rb_hi"] = (keys["rb_hi"] >> 1) | (rbb << (k - 33))
 
         nrun = jnp.where(valid, run + 1, 0)
-
-        def z(x):
-            return jnp.where(valid, x, 0)
-
-        carry = (z(nfa_lo), z(nfa_hi), z(nfb_lo), z(nfb_hi),
-                 z(nra_lo), z(nra_hi), z(nrb_lo), z(nrb_hi), nrun)
+        carry = tuple(jnp.where(valid, new[nm], 0) for nm in names) + (nrun,)
         ok = nrun >= k
-        out = carry[:8] + (ok,)
+        out = carry[:-1] + (ok,)
         return carry, out
 
-    init = (zero,) * 8 + (zero.astype(jnp.int32),)
+    init = (zero,) * len(names) + (zero.astype(jnp.int32),)
     _, outs = jax.lax.scan(step, init, codes_t)
-    names = ("fa_lo", "fa_hi", "fb_lo", "fb_hi",
-             "ra_lo", "ra_hi", "rb_lo", "rb_hi", "ok")
-    return {nm: o.T for nm, o in zip(names, outs)}  # each [N, L]
+    return {nm: o.T for nm, o in zip(names + ("ok",), outs)}  # each [N, L]
 
 
 def _plane_addr(lo, hi, k: int):
@@ -186,6 +193,19 @@ def _greedy_count(member, ok, k: int, t: int):
     return cnt
 
 
+def _strand_count(planes, s, prefix: str, k: int, t: int):
+    """Membership + greedy count for one strand, probing only positions
+    that can hold a complete window (>= k-1), which trims ~25% of the
+    gathers at typical read lengths."""
+    sl = slice(k - 1, None)
+    ok = s["ok"][:, sl]
+    words, masks = _four_plane_addrs(
+        s[prefix + "a_lo"][:, sl], s[prefix + "a_hi"][:, sl],
+        s[prefix + "b_lo"][:, sl], s[prefix + "b_hi"][:, sl], k)
+    mem = _membership(planes, words, masks, k)
+    return _greedy_count(mem & ok, ok, k, t)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "t"))
 def search_batch(planes: jax.Array, codes: jax.Array, k: int, t: int):
     """Classify each read: does it share >= t non-overlapping k-mers with the
@@ -195,18 +215,28 @@ def search_batch(planes: jax.Array, codes: jax.Array, k: int, t: int):
     logging parity.
     """
     s = window_scan(codes, k)
-    ok = s["ok"]
-    fw_words, fw_masks = _four_plane_addrs(s["fa_lo"], s["fa_hi"],
-                                           s["fb_lo"], s["fb_hi"], k)
-    rc_words, rc_masks = _four_plane_addrs(s["ra_lo"], s["ra_hi"],
-                                           s["rb_lo"], s["rb_hi"], k)
-    mem_f = _membership(planes, fw_words, fw_masks, k)
-    cnt_f = _greedy_count(mem_f & ok, ok, k, t)
+    cnt_f = _strand_count(planes, s, "f", k, t)
     found_f = cnt_f >= t
-    mem_r = _membership(planes, rc_words, rc_masks, k)
-    cnt_r = _greedy_count(mem_r & ok, ok, k, t)
+    cnt_r = _strand_count(planes, s, "r", k, t)
     tagged = found_f | (cnt_r >= t)
     return tagged, found_f
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t"))
+def search_batch_fwd(planes: jax.Array, codes: jax.Array, k: int, t: int):
+    """Forward-strand-only classification. The reference only consults the
+    reverse strand when the forward scan failed (search_reads.h:64-83), so
+    the streaming engine runs this pass on everything and the rc pass only
+    on the fwd-untagged remainder (exact same final tags)."""
+    s = window_scan(codes, k, strand="fwd")
+    return _strand_count(planes, s, "f", k, t) >= t
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t"))
+def search_batch_rc(planes: jax.Array, codes: jax.Array, k: int, t: int):
+    """Reverse-complement-strand-only classification."""
+    s = window_scan(codes, k, strand="rc")
+    return _strand_count(planes, s, "r", k, t) >= t
 
 
 # --------------------------------------------------------------------------

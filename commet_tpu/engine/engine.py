@@ -216,12 +216,26 @@ class Engine:
         return planes
 
     def search_set(self, planes, enc: EncodedSet, idx: np.ndarray):
-        """Classify reads ``idx``; returns bool tags [len(idx)]."""
+        """Classify reads ``idx``; returns bool tags [len(idx)].
+
+        Two streaming passes: forward strand over everything, then the
+        reverse-complement strand only over the fwd-untagged remainder
+        (host-compacted between passes) - the vectorized equivalent of the
+        reference's per-read fwd-then-rc early exit (search_reads.h:64-83).
+        """
         tags = np.zeros(len(idx), dtype=bool)
         for sl, codes in self._batched_codes(enc, idx):
-            tagged, _ = kernels.search_batch(planes, jnp.asarray(codes, jnp.int32),
-                                             self.k, self.t)
+            tagged = kernels.search_batch_fwd(
+                planes, jnp.asarray(codes, jnp.int32), self.k, self.t)
             tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
+        remaining = np.nonzero(~tags)[0]
+        if len(remaining):
+            rc_idx = idx[remaining]
+            for sl, codes in self._batched_codes(enc, rc_idx):
+                tagged = kernels.search_batch_rc(
+                    planes, jnp.asarray(codes, jnp.int32), self.k, self.t)
+                got = np.asarray(tagged)[: sl.stop - sl.start]
+                tags[remaining[sl]] |= got
         return tags
 
     def index_and_search(self, index_set: ReadSet, query_sets: List[ReadSet],

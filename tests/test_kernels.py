@@ -58,10 +58,14 @@ def test_search_matches_oracle(k, t):
     lpad = max(max(len(s) for s in qry_seqs), k)
     planes = kernels.alloc_planes(k)
     planes = kernels.build_chunk(planes, jnp.asarray(encode(idx_seqs, lpad)), k)
-    tagged, _ = kernels.search_batch(planes, jnp.asarray(encode(qry_seqs, lpad)),
-                                     k, t)
+    qcodes = jnp.asarray(encode(qry_seqs, lpad))
+    tagged, _ = kernels.search_batch(planes, qcodes, k, t)
     got = np.asarray(tagged)
     assert (got == expected).all(), np.nonzero(got != expected)
+    # split-strand kernels must union to the same result
+    f = np.asarray(kernels.search_batch_fwd(planes, qcodes, k, t))
+    r = np.asarray(kernels.search_batch_rc(planes, qcodes, k, t))
+    assert ((f | r) == expected).all()
 
 
 @pytest.mark.parametrize("k", [8, 32, 33])
