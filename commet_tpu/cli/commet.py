@@ -244,6 +244,10 @@ def main(argv=None) -> int:
         description="Computes the filtering and the full N x N intersections "
                     "of read sets (TPU-native)")
     parser.add_argument("input_file", type=str)
+    parser.add_argument("--sge", action="store_true",
+                        help="compatibility alias for --jobs 2 (the "
+                             "reference's SGE cluster mode becomes an "
+                             "in-process dependency-scheduled job DAG)")
     parser.add_argument("--one_vs_all", action="store_true")
     parser.add_argument("--no-plots", dest="plots", action="store_false")
     parser.add_argument("-o", "--output_directory", dest="directory",
@@ -261,6 +265,9 @@ def main(argv=None) -> int:
                              "DAG with N host workers (the reference's --sge "
                              "equivalent; device stages serialize)")
     args = parser.parse_args(argv)
+    if args.sge and args.jobs == 1:
+        print("SGE mode requested: running as an in-process job DAG")
+        args.jobs = 2
 
     out_dir = args.directory
     if not out_dir.endswith("/"):

@@ -102,11 +102,21 @@ class Engine:
     against them, with reference partitioning semantics."""
 
     def __init__(self, k: int, t: int, batch: int = DEFAULT_BATCH,
-                 max_kmer: Optional[int] = None):
+                 max_kmer: Optional[int] = None, mesh=None):
         self.k = k
         self.t = t
         self.batch = batch
         self.max_kmer = max_kmer_for(k) if max_kmer is None else max_kmer
+        # multi-chip mode: membership planes sharded across the mesh's word
+        # axis, query batches data-parallel (commet_tpu/parallel/sharded.py)
+        self.mesh = mesh
+        self._sharded_fns = None
+        if mesh is not None:
+            from commet_tpu.parallel import sharded
+            if batch % mesh.devices.size != 0:
+                raise ValueError("batch must divide evenly across the mesh")
+            self._sharded = sharded
+            self._sharded_fns = sharded.build_search_step(mesh, k, t)
 
     # ---------------------------------------------------------------- utils
     def _batched_codes(self, enc: EncodedSet, idx: np.ndarray):
@@ -193,6 +203,22 @@ class Engine:
         access pattern (~65M descriptors/s measured on v5e) while the host
         sustains it easily. Device scatter path kept as fallback.
         """
+        if self.mesh is not None:
+            build_fn, _ = self._sharded_fns
+            if planes is None:
+                planes = self._sharded.alloc_planes_sharded(self.k, self.mesh)
+            for _, codes in self._batched_codes(enc, idx):
+                planes = build_fn(planes, jnp.asarray(codes, jnp.int32))
+            return planes
+        if jax.devices()[0].platform != "cpu":
+            # packed transport: the tunneled uplink is the bottleneck
+            planes = kernels.alloc_planes(self.k) if planes is None else planes
+            for _, codes in self._batched_codes(enc, idx):
+                c2, v = kernels.pack_codes_np(codes)
+                planes = kernels.build_chunk_packed(
+                    planes, jnp.asarray(c2), jnp.asarray(v),
+                    codes.shape[1], self.k)
+            return planes
         native = self._native()
         # host build + upload only pays off when the "upload" is a local
         # memcpy (CPU backend); on the tunneled TPU the ~40 MB/s uplink makes
@@ -224,16 +250,30 @@ class Engine:
         reference's per-read fwd-then-rc early exit (search_reads.h:64-83).
         """
         tags = np.zeros(len(idx), dtype=bool)
+        if self.mesh is not None:
+            _, search_fn = self._sharded_fns
+            for sl, codes in self._batched_codes(enc, idx):
+                tagged = search_fn(planes, jnp.asarray(codes, jnp.int32))
+                tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
+            return tags
+        def run(kernel_plain, kernel_packed, codes):
+            if jax.devices()[0].platform == "cpu":
+                return kernel_plain(planes, jnp.asarray(codes, jnp.int32),
+                                    self.k, self.t)
+            c2, v = kernels.pack_codes_np(codes)
+            return kernel_packed(planes, jnp.asarray(c2), jnp.asarray(v),
+                                 codes.shape[1], self.k, self.t)
+
         for sl, codes in self._batched_codes(enc, idx):
-            tagged = kernels.search_batch_fwd(
-                planes, jnp.asarray(codes, jnp.int32), self.k, self.t)
+            tagged = run(kernels.search_batch_fwd,
+                         kernels.search_batch_fwd_packed, codes)
             tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
         remaining = np.nonzero(~tags)[0]
         if len(remaining):
             rc_idx = idx[remaining]
             for sl, codes in self._batched_codes(enc, rc_idx):
-                tagged = kernels.search_batch_rc(
-                    planes, jnp.asarray(codes, jnp.int32), self.k, self.t)
+                tagged = run(kernels.search_batch_rc,
+                             kernels.search_batch_rc_packed, codes)
                 got = np.asarray(tagged)[: sl.stop - sl.start]
                 tags[remaining[sl]] |= got
         return tags
@@ -248,6 +288,20 @@ class Engine:
 
         Returns per-query-set counters {name: {indexed, searched, shared}}.
         """
+        profile_dir = os.environ.get("COMMET_TPU_PROFILE")
+        if profile_dir:
+            import contextlib
+            trace_cm = jax.profiler.trace(profile_dir)
+        else:
+            import contextlib
+            trace_cm = contextlib.nullcontext()
+        with trace_cm:
+            return self._index_and_search(index_set, query_sets, out_dir,
+                                          log_dir, save)
+
+    def _index_and_search(self, index_set: ReadSet, query_sets: List[ReadSet],
+                          out_dir: Optional[str], log_dir: Optional[str],
+                          save: bool) -> Dict[str, Dict[str, int]]:
         t_start = time.time()
         enc_index = EncodedSet(index_set)
         enc_queries = [EncodedSet(q) for q in query_sets]

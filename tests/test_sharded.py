@@ -45,6 +45,30 @@ def test_sharded_matches_single(mesh, k):
     assert (flat8 == np.asarray(p1)).all()
 
 
+def test_sharded_engine_matches_golden(mesh, tmp_path):
+    """The full engine in multi-chip mode must reproduce the reference
+    golden result bit-for-bit (k=15 partitioned case, 8-way mesh)."""
+    import os
+
+    from commet_tpu.engine.engine import Engine
+    from commet_tpu.io.reads import ReadSet
+
+    os.chdir("/root/reference")
+    index_set = ReadSet("A")
+    index_set.add_file("ABCDE_bench/A.fa")
+    query = ReadSet("B")
+    query.add_file("ABCDE_bench/B.fa")
+
+    eng = Engine(k=15, t=2, batch=4096, mesh=mesh)
+    out = str(tmp_path)
+    eng.index_and_search(index_set, [query], out_dir=out, log_dir=out)
+
+    golden = os.path.join("/root/repo/tests/golden/unit/part", "B.fa_in_A.bv")
+    with open(os.path.join(out, "B.fa_in_A.bv"), "rb") as f1, \
+         open(golden, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
