@@ -85,6 +85,17 @@ def main():
         c2, v = upload(chunk_u8)
         return kernel(planes, c2, v, lpad, K, T)
 
+    V = 4  # cascade verification window (low-fill regime; engine.py policy)
+    WMAX = READ_LEN - K + 1
+
+    def cascade_one(planes, chunk_u8):
+        """Fused both-strand cascade; the workload is N-free so only the
+        2-bit code plane + lengths travel over the uplink."""
+        c2 = kernels.pack_codes2_np(chunk_u8.astype(np.uint8))
+        lens = (chunk_u8 != 4).sum(axis=1).astype(np.int32)
+        return kernels.probe_cascade2_clean(
+            planes, jnp.asarray(c2), jnp.asarray(lens), lpad, K, T, V, WMAX)
+
     # ---------------- compile (cached across runs) ----------------
     t0 = time.time()
     planes = kernels.alloc_planes(K)
@@ -95,6 +106,13 @@ def main():
     tg = search_one(planes, query[:BATCH], kernels.search_batch_fwd_packed)
     np.asarray(tg[:1])
     tg = search_one(planes, query[:BATCH], kernels.search_batch_rc_packed)
+    np.asarray(tg[:1])
+    tg = cascade_one(planes, query[:BATCH])
+    np.asarray(tg[:1])
+    c2w = kernels.pack_codes2_np(query[:BATCH].astype(np.uint8))
+    lnw = (query[:BATCH] != 4).sum(axis=1).astype(np.int32)
+    tg = kernels.probe_cascade2_clean(planes, jnp.asarray(c2w),
+                                      jnp.asarray(lnw), lpad, K, T, 16, WMAX)
     np.asarray(tg[:1])
     log(f"search compile+first batch {time.time()-t0:.1f}s")
 
@@ -107,32 +125,67 @@ def main():
     build_time = time.time() - t0
     log(f"build: {N_INDEX} reads in {build_time:.2f}s")
 
-    # ---------------- search: fwd pass over all reads, rc pass over the
-    # fwd-untagged remainder (host-compacted) - the engine's streaming flow.
+    # ---------------- search: the engine's cascade flow. Per strand, the
+    # fused plane-A-prefilter + targeted-verification kernel decides most
+    # reads exactly; AMBIG reads re-run through the exact full kernel; the
+    # rc strand sees only the fwd-undecided remainder (host-compacted).
     # Timing includes host packing and uploads (the full serving path).
-    t0 = time.time()
-    outs = [search_one(planes, query[s : s + BATCH],
-                       kernels.search_batch_fwd_packed)
-            for s in range(0, N_QUERY, BATCH)]
-    tags = np.concatenate([np.asarray(o) for o in outs])
-    remaining = np.nonzero(~tags)[0]
-    rc_src = query[remaining]
-    rc_outs = []
-    for s in range(0, len(remaining), BATCH):
-        chunk = rc_src[s : s + BATCH]
-        if len(chunk) < BATCH:
-            chunk = np.pad(chunk, ((0, BATCH - len(chunk)), (0, 0)),
+    def pad_batch(chunk, size=BATCH):
+        if len(chunk) < size:
+            chunk = np.pad(chunk, ((0, size - len(chunk)), (0, 0)),
                            constant_values=4)
-        rc_outs.append(search_one(planes, chunk,
-                                  kernels.search_batch_rc_packed))
-    if rc_outs:
-        rc_tags = np.concatenate([np.asarray(o) for o in rc_outs])
-        tags[remaining] |= rc_tags[: len(remaining)]
+        return chunk
+
+    t0 = time.time()
+    tags = np.zeros(N_QUERY, dtype=bool)
+    verdicts = [cascade_one(planes, query[s : s + BATCH])
+                for s in range(0, N_QUERY, BATCH)]  # all async, sync below
+    v = np.concatenate([np.asarray(o) for o in verdicts])
+    tags[v == kernels.VERDICT_TAGGED] = True
+    amb = np.nonzero(v == kernels.VERDICT_AMBIG)[0]
+    n_amb = len(amb)
+    # second cascade round with a wider verification window handles the
+    # extension-refuted remainder; only the residual hits the full probe
+    if len(amb):
+        chunk = pad_batch(query[amb])
+        c2 = kernels.pack_codes2_np(chunk.astype(np.uint8))
+        lens = (chunk != 4).sum(axis=1).astype(np.int32)
+        v2 = np.asarray(kernels.probe_cascade2_clean(
+            planes, jnp.asarray(c2), jnp.asarray(lens), lpad, K, T, 16,
+            WMAX))[: len(amb)]
+        tags[amb[v2 == kernels.VERDICT_TAGGED]] = True
+        rem = amb[v2 == kernels.VERDICT_AMBIG]
+    else:
+        rem = amb
+    for kernel in (kernels.search_batch_fwd_packed,
+                   kernels.search_batch_rc_packed):
+        if not len(rem):
+            break
+        for s in range(0, len(rem), BATCH):
+            rows = rem[s : s + BATCH]
+            got = search_one(planes, pad_batch(query[rows]), kernel)
+            tags[rows] |= np.asarray(got)[: len(rows)]
+        rem = rem[~tags[rem]]
     n_tagged = int(tags.sum())
     dt = time.time() - t0
     reads_per_sec = N_QUERY / dt
     log(f"search: {N_QUERY} reads in {dt:.2f}s, tagged {n_tagged}, "
-        f"rc_pass {len(remaining)}")
+        f"ambiguous {n_amb}")
+
+    # untimed verification: cascade tags must equal the exact full probe
+    ver = np.zeros(N_QUERY, dtype=bool)
+    for s in range(0, N_QUERY, BATCH):
+        got = search_one(planes, query[s : s + BATCH],
+                         kernels.search_batch_fwd_packed)
+        ver[s : s + BATCH] = np.asarray(got)
+    rem = np.nonzero(~ver)[0]
+    for s in range(0, len(rem), BATCH):
+        rows = rem[s : s + BATCH]
+        got = search_one(planes, pad_batch(query[rows]),
+                         kernels.search_batch_rc_packed)
+        ver[rows] |= np.asarray(got)[: len(rows)]
+    assert (ver == tags).all(), "cascade diverged from full probe"
+    log("verification: cascade tags == full-probe tags")
 
     result = {
         "metric": "query_reads_per_sec_chip_k32_probe",
@@ -147,6 +200,8 @@ def main():
             "search_time_s": round(dt, 3),
             "n_query": N_QUERY,
             "tagged": n_tagged,
+            "ambiguous": n_amb,
+            "cascade_verify_v": V,
             "device": str(jax.devices()[0]),
         },
     }

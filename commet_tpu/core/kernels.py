@@ -74,6 +74,17 @@ def pack_codes_np(codes_u8: np.ndarray):
     return codes2, valid
 
 
+def pack_codes2_np(codes_u8: np.ndarray) -> np.ndarray:
+    """Host-side pack of the 2-bit code plane only (for N-free batches that
+    ship lengths instead of a validity plane)."""
+    n, length = codes_u8.shape
+    w16 = -(-length // 16)
+    c = np.zeros((n, w16 * 16), dtype=np.uint32)
+    c[:, :length] = np.where(codes_u8 < 4, codes_u8, 0).astype(np.uint32)
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    return np.bitwise_or.reduce(c.reshape(n, w16, 16) << shifts, axis=2)
+
+
 def unpack_codes(codes2: jax.Array, valid: jax.Array, length: int):
     """Device-side unpack back to [N, L] int32 codes (4 = invalid).
     Regular bit-slicing - reshapes and shifts only, no gathers."""
@@ -162,6 +173,125 @@ def window_scan(codes: jax.Array, k: int, strand: str = "both"):
     return {nm: o.T for nm, o in zip(names + ("ok",), outs)}  # each [N, L]
 
 
+# --------------------------------------------------------------------------
+# Gather-free rolling keys: funnel extraction over packed bit planes
+#
+# window_scan (above) is a lax.scan with L sequential steps — correct but
+# latency-bound on TPU (each step is a tiny vector op). window_keys computes
+# the identical per-window keys with pure vector ops: pack the a/b/validity
+# bit planes into MSB-first uint32 words, then every window's key is a
+# 32-bit "funnel shift" of two adjacent words. Reverse-complement keys are
+# the same extraction over the reversed complemented planes (the rc key's
+# bit d is the complement of the base at window offset d — see
+# include/hash_key.h:99-125).
+# --------------------------------------------------------------------------
+
+
+def _pack_bits_msb(bits, L32: int):
+    """[B, L32] 0/1 ints -> [B, L32/32 + 1] uint32, MSB-first per word, one
+    zero pad word appended (L32 must be a multiple of 32)."""
+    b = bits.shape[0]
+    sh = (jnp.uint32(31) - jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    w = (bits.astype(jnp.uint32).reshape(b, L32 // 32, 32) << sh).sum(
+        axis=2, dtype=jnp.uint32)  # disjoint bits: sum == OR
+    return jnp.concatenate([w, jnp.zeros((b, 1), jnp.uint32)], axis=1)
+
+
+def _extract_all(words, L32: int):
+    """ext[:, j] = bits j..j+31 (MSB-first) of the packed stream, for every
+    j in [0, L32). Pure shifts over repeated words — no gathers."""
+    w0 = jnp.repeat(words[:, :-1], 32, axis=1)
+    w1 = jnp.repeat(words[:, 1:], 32, axis=1)
+    off = jnp.tile(jnp.arange(32, dtype=jnp.uint32), L32 // 32)[None, :]
+    return jnp.where(off == 0, w0,
+                     (w0 << off) | (w1 >> (jnp.uint32(32) - off)))
+
+
+def window_keys(codes, k: int, strand: str = "both", wmax=None):
+    """Per-window rolling keys for windows ENDING at positions k-1 .. k-1+W-1
+    (W = wmax or L-k+1), as [B, W] arrays: fa/fb/ra/rb lo+hi and ok.
+    Bit-identical to window_scan restricted to that slice (where ok holds;
+    incomplete windows carry unspecified key bits but ok=False)."""
+    b, L = codes.shape
+    W = max(1, (L - k + 1) if wmax is None else wmax)
+    L32 = -(-max(L, k - 1 + W) // 32) * 32
+    pad = L32 - L
+    if pad:
+        codes = jnp.pad(codes, ((0, 0), (0, pad)),
+                        constant_values=INVALID_CODE)
+    valid = (codes < INVALID_CODE).astype(jnp.uint32)
+    abit = ((codes >> 1) & 1).astype(jnp.uint32) * valid
+    bbit = (codes & 1).astype(jnp.uint32) * valid
+
+    ext_v = _extract_all(_pack_bits_msb(valid, L32), L32)
+    full = jnp.uint32(0xFFFFFFFF)
+    if k <= 32:
+        vmask = full if k == 32 else jnp.uint32(((1 << k) - 1) << (32 - k))
+        ok = (ext_v[:, :W] & vmask) == vmask
+    else:
+        ok = (ext_v[:, :W] == full) & (ext_v[:, k - 32 : k - 32 + W] == full)
+    out = {"ok": ok}
+
+    def fwd_key(plane_bits):
+        ext = _extract_all(_pack_bits_msb(plane_bits, L32), L32)
+        if k <= 32:
+            return ext[:, :W] >> jnp.uint32(32 - k), jnp.zeros_like(ext[:, :W])
+        return ext[:, k - 32 : k - 32 + W], ext[:, :W] >> jnp.uint32(64 - k)
+
+    def rc_key(plane_bits):
+        # rc sequence = complement bits reversed; window ending at i maps to
+        # forward position L32-1-i in the reversed stream
+        rbits = jnp.flip(1 - plane_bits, axis=1)
+        ext = _extract_all(_pack_bits_msb(rbits, L32), L32)
+        # window ending at i=k-1+m -> start p0 = L32-k-m: slice then flip
+        lo_sl = jnp.flip(ext[:, L32 - k - W + 1 : L32 - k + 1], axis=1)
+        if k <= 32:
+            return lo_sl >> jnp.uint32(32 - k), jnp.zeros_like(lo_sl)
+        hi_sl = lo_sl
+        lo2 = jnp.flip(ext[:, L32 - 32 - W + 1 : L32 - 32 + 1], axis=1)
+        return lo2, hi_sl >> jnp.uint32(64 - k)
+
+    if strand in ("both", "fwd"):
+        out["fa_lo"], out["fa_hi"] = fwd_key(abit)
+        out["fb_lo"], out["fb_hi"] = fwd_key(bbit)
+    if strand in ("both", "rc"):
+        out["ra_lo"], out["ra_hi"] = rc_key(abit)
+        out["rb_lo"], out["rb_hi"] = rc_key(bbit)
+    return out
+
+
+def _greedy_count_fast(member, k: int, t: int):
+    """Greedy non-overlapping hit count capped at t, without a sequential
+    scan: suffix-min "next hit at or after i" table (log-depth associative
+    scan) + t unrolled pointer jumps. Equals _greedy_count(member, member)."""
+    b, W = member.shape
+    inf = jnp.int32(W + k + 2)
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    hitpos = jnp.where(member, pos, inf)
+    nxt = jax.lax.associative_scan(jnp.minimum, hitpos, reverse=True, axis=1)
+    cnt = jnp.zeros((b,), jnp.int32)
+    cur = nxt[:, 0]
+    for m in range(t):
+        found = cur < W
+        cnt = cnt + found.astype(jnp.int32)
+        if m == t - 1:
+            break
+        idx = jnp.clip(cur + k, 0, W - 1)
+        nxt_val = jnp.take_along_axis(nxt, idx[:, None], axis=1)[:, 0]
+        cur = jnp.where(found & (cur + k < W), nxt_val, inf)
+    return cnt
+
+
+# t above which the unrolled-jump greedy stops paying off
+_GREEDY_FAST_MAX_T = 16
+
+
+def _greedy(member, k: int, t: int):
+    if t <= _GREEDY_FAST_MAX_T:
+        return _greedy_count_fast(member, k, t)
+    return _greedy_count(member, member, k, t)
+
+
 def _plane_addr(lo, hi, k: int):
     """key value -> (word index, bit mask) in its 2^k-bit plane."""
     if k <= 32:
@@ -228,66 +358,234 @@ def _greedy_count(member, ok, k: int, t: int):
     return cnt
 
 
-def _strand_count(planes, s, prefix: str, k: int, t: int):
-    """Membership + greedy count for one strand, probing only positions
-    that can hold a complete window (>= k-1), which trims ~25% of the
-    gathers at typical read lengths."""
-    sl = slice(k - 1, None)
-    ok = s["ok"][:, sl]
+def _strand_count(planes, wk, prefix: str, k: int, t: int):
+    """Membership + greedy count for one strand over pre-sliced window
+    keys (window_keys output)."""
+    ok = wk["ok"]
     words, masks = _four_plane_addrs(
-        s[prefix + "a_lo"][:, sl], s[prefix + "a_hi"][:, sl],
-        s[prefix + "b_lo"][:, sl], s[prefix + "b_hi"][:, sl], k)
+        wk[prefix + "a_lo"], wk[prefix + "a_hi"],
+        wk[prefix + "b_lo"], wk[prefix + "b_hi"], k)
     mem = _membership(planes, words, masks, k)
-    return _greedy_count(mem & ok, ok, k, t)
+    return _greedy(mem & ok, k, t)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t"))
-def search_batch(planes: jax.Array, codes: jax.Array, k: int, t: int):
+@functools.partial(jax.jit, static_argnames=("k", "t", "wmax"))
+def search_batch(planes: jax.Array, codes: jax.Array, k: int, t: int,
+                 wmax=None):
     """Classify each read: does it share >= t non-overlapping k-mers with the
     indexed set (forward or reverse-complement strand)?
 
     Returns (tagged [N] bool, found_fwd [N] bool) - found_fwd only feeds
     logging parity.
     """
-    s = window_scan(codes, k)
-    cnt_f = _strand_count(planes, s, "f", k, t)
+    wk = window_keys(codes, k, "both", wmax)
+    cnt_f = _strand_count(planes, wk, "f", k, t)
     found_f = cnt_f >= t
-    cnt_r = _strand_count(planes, s, "r", k, t)
+    cnt_r = _strand_count(planes, wk, "r", k, t)
     tagged = found_f | (cnt_r >= t)
     return tagged, found_f
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t"))
-def search_batch_fwd(planes: jax.Array, codes: jax.Array, k: int, t: int):
+@functools.partial(jax.jit, static_argnames=("k", "t", "wmax"))
+def search_batch_fwd(planes: jax.Array, codes: jax.Array, k: int, t: int,
+                     wmax=None):
     """Forward-strand-only classification. The reference only consults the
     reverse strand when the forward scan failed (search_reads.h:64-83), so
     the streaming engine runs this pass on everything and the rc pass only
     on the fwd-untagged remainder (exact same final tags)."""
-    s = window_scan(codes, k, strand="fwd")
-    return _strand_count(planes, s, "f", k, t) >= t
+    wk = window_keys(codes, k, "fwd", wmax)
+    return _strand_count(planes, wk, "f", k, t) >= t
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t"))
-def search_batch_rc(planes: jax.Array, codes: jax.Array, k: int, t: int):
+@functools.partial(jax.jit, static_argnames=("k", "t", "wmax"))
+def search_batch_rc(planes: jax.Array, codes: jax.Array, k: int, t: int,
+                    wmax=None):
     """Reverse-complement-strand-only classification."""
-    s = window_scan(codes, k, strand="rc")
-    return _strand_count(planes, s, "r", k, t) >= t
+    wk = window_keys(codes, k, "rc", wmax)
+    return _strand_count(planes, wk, "r", k, t) >= t
 
 
-@functools.partial(jax.jit, static_argnames=("length", "k", "t"))
+@functools.partial(jax.jit, static_argnames=("length", "k", "t", "wmax"))
 def search_batch_fwd_packed(planes, codes2, valid, length: int, k: int,
-                            t: int):
+                            t: int, wmax=None):
     codes = unpack_codes(codes2, valid, length)
-    s = window_scan(codes, k, strand="fwd")
-    return _strand_count(planes, s, "f", k, t) >= t
+    wk = window_keys(codes, k, "fwd", wmax)
+    return _strand_count(planes, wk, "f", k, t) >= t
 
 
-@functools.partial(jax.jit, static_argnames=("length", "k", "t"))
+@functools.partial(jax.jit, static_argnames=("length", "k", "t", "wmax"))
 def search_batch_rc_packed(planes, codes2, valid, length: int, k: int,
-                           t: int):
+                           t: int, wmax=None):
     codes = unpack_codes(codes2, valid, length)
-    s = window_scan(codes, k, strand="rc")
-    return _strand_count(planes, s, "r", k, t) >= t
+    wk = window_keys(codes, k, "rc", wmax)
+    return _strand_count(planes, wk, "r", k, t) >= t
+
+
+# --------------------------------------------------------------------------
+# Cascade probe (two-phase, fused)
+#
+# The full probe spends 4 plane gathers per window (the per-descriptor gather
+# rate is the v5e wall; see BENCH_NOTES.md). The cascade tests only plane A
+# for every window, then verifies planes B/C/D on at most 2V selected A-hit
+# positions per read (the V leftmost and V rightmost hits), and returns an
+# exact verdict where possible:
+#   TAGGED   - >= t non-overlapping *confirmed* (all-4-plane) hits exist;
+#   UNTAGGED - even counting every unverified A-hit as a hit, the greedy
+#              non-overlapping upper bound stays < t;
+#   AMBIG    - neither; the caller re-runs these (rare) reads through the
+#              exact full kernel.
+# All three outcomes are sound, so the cascade composes into a bit-exact
+# replacement for search_reads.h:34-87 at a fraction of the gather volume.
+# --------------------------------------------------------------------------
+
+VERDICT_UNTAGGED = 0
+VERDICT_AMBIG = 1
+VERDICT_TAGGED = 2
+
+
+def _test_plane(planes, plane: int, words, masks, k: int):
+    """Single-plane bit test (cf. _membership which tests all 4)."""
+    w = plane_words(k)
+    idx = (words + jnp.uint32(plane * w)).astype(jnp.int32)
+    got = jnp.take(planes, idx, axis=0)
+    return (got & masks) != 0
+
+
+def _strand_cascade(planes, wk, p: str, k: int, t: int, V: int):
+    """One strand's cascade over pre-sliced window keys: returns
+    (confirmed_count >= t, upper_bound < t), i.e. (definitely tagged,
+    definitely untagged) boolean vectors."""
+    ok = wk["ok"]
+    a_lo, a_hi = wk[p + "a_lo"], wk[p + "a_hi"]
+    b_lo, b_hi = wk[p + "b_lo"], wk[p + "b_hi"]
+
+    wA, mA = _plane_addr(a_lo, a_hi, k)
+    memA = _test_plane(planes, 0, wA, mA, k) & ok
+
+    # select the V leftmost + V rightmost A-hit positions. When a row has
+    # <= 2V hits the selection covers ALL of them (rank_l + rank_r =
+    # total + 1 for any hit, so rank_l > V and rank_r > V imply total > 2V).
+    m = memA.astype(jnp.int32)
+    rank_l = jnp.cumsum(m, axis=1)
+    total = rank_l[:, -1:]
+    rank_r = total - rank_l + m
+    s2 = 2 * V
+    slotof = jnp.where(rank_l <= V, rank_l - 1, 2 * V - rank_r)
+    slotof = jnp.where(memA & ((rank_l <= V) | (rank_r <= V)), slotof, s2)
+    sel = slotof < s2
+
+    # positions per slot: 2V small reductions (slots are unique per row)
+    pos = jnp.arange(memA.shape[1], dtype=jnp.int32)[None, :]
+    posbuf = jnp.stack(
+        [jnp.sum(jnp.where(slotof == s, pos, 0), axis=1, dtype=jnp.int32)
+         for s in range(s2)], axis=1)  # [B, 2V]
+    iota_s = jnp.arange(s2, dtype=jnp.int32)[None, :]
+    occupied = jnp.where(iota_s < V, iota_s < total,
+                         (s2 - iota_s) <= total)  # [B, 2V]
+
+    # keys at the selected positions: one row-gather over a stacked last axis
+    parts = [a_lo, b_lo] + ([a_hi, b_hi] if k > 32 else [])
+    keys = jnp.stack(parts, axis=-1)  # [B, Wp, C]
+    selk = jnp.take_along_axis(keys, posbuf[:, :, None], axis=1)  # [B,2V,C]
+    sa_lo, sb_lo = selk[..., 0], selk[..., 1]
+    if k > 32:
+        sa_hi, sb_hi = selk[..., 2], selk[..., 3]
+    else:
+        sa_hi = sb_hi = jnp.zeros_like(sa_lo)
+    words, masks = _four_plane_addrs(sa_lo, sa_hi, sb_lo, sb_hi, k)  # [4,B,2V]
+
+    w = plane_words(k)
+    offs = (jnp.arange(1, 4, dtype=jnp.uint32) * jnp.uint32(w)).reshape(3, 1, 1)
+    got = jnp.take(planes, (words[1:] + offs).astype(jnp.int32), axis=0)
+    confirmed = occupied & ((got & masks[1:]) != 0).all(axis=0)  # [B, 2V]
+
+    # map confirmations back onto the window axis with a compare-reduce:
+    # [B, Wp, 2V] vector work is far cheaper than a per-row gather (a [B, Wp]
+    # take_along_axis costs B*Wp descriptors at the ~65M/s gather wall —
+    # as much as the plane-A probe itself)
+    iota_w = jnp.arange(memA.shape[1], dtype=jnp.int32)
+    conf_w = jnp.any((posbuf[:, None, :] == iota_w[None, :, None])
+                     & confirmed[:, None, :], axis=2) & sel
+    unverified = memA & ~sel
+
+    c = _greedy(conf_w, k, t)
+    ub = _greedy(conf_w | unverified, k, t)
+    return c >= t, ub < t
+
+
+def _probe_cascade(planes, codes, k: int, t: int, V: int, strand: str,
+                   wmax=None):
+    wk = window_keys(codes, k, strand, wmax)
+    p = "f" if strand == "fwd" else "r"
+    tag, untag = _strand_cascade(planes, wk, p, k, t, V)
+    return jnp.where(tag, jnp.int8(VERDICT_TAGGED),
+                     jnp.where(untag, jnp.int8(VERDICT_UNTAGGED),
+                               jnp.int8(VERDICT_AMBIG)))
+
+
+def _probe_cascade2(planes, codes, k: int, t: int, V: int, wmax=None):
+    """Fused both-strand cascade. The reference tags a read when EITHER
+    strand reaches t non-overlapping hits (search_reads.h:49-83; the
+    fwd-then-rc order is an early-exit optimization, not a semantic one), so
+    tagged = tag_f | tag_r, untagged = untag_f & untag_r, else ambiguous."""
+    wk = window_keys(codes, k, "both", wmax)
+    tag_f, untag_f = _strand_cascade(planes, wk, "f", k, t, V)
+    tag_r, untag_r = _strand_cascade(planes, wk, "r", k, t, V)
+    return jnp.where(tag_f | tag_r, jnp.int8(VERDICT_TAGGED),
+                     jnp.where(untag_f & untag_r, jnp.int8(VERDICT_UNTAGGED),
+                               jnp.int8(VERDICT_AMBIG)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "t", "V", "strand", "wmax"))
+def probe_cascade(planes, codes, k: int, t: int, V: int, strand: str,
+                  wmax=None):
+    """Cascade classification, one strand. Returns verdict [N] int8."""
+    return _probe_cascade(planes, codes, k, t, V, strand, wmax)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("length", "k", "t", "V", "strand",
+                                    "wmax"))
+def probe_cascade_packed(planes, codes2, valid, length: int, k: int, t: int,
+                         V: int, strand: str, wmax=None):
+    codes = unpack_codes(codes2, valid, length)
+    return _probe_cascade(planes, codes, k, t, V, strand, wmax)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t", "V", "wmax"))
+def probe_cascade2(planes, codes, k: int, t: int, V: int, wmax=None):
+    """Fused both-strand cascade on plain int32 codes."""
+    return _probe_cascade2(planes, codes, k, t, V, wmax)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("length", "k", "t", "V", "wmax"))
+def probe_cascade2_packed(planes, codes2, valid, length: int, k: int, t: int,
+                          V: int, wmax=None):
+    codes = unpack_codes(codes2, valid, length)
+    return _probe_cascade2(planes, codes, k, t, V, wmax)
+
+
+def unpack_codes_clean(codes2: jax.Array, lengths: jax.Array, length: int):
+    """Unpack 2-bit codes for reads with NO internal invalid bases: validity
+    is just position < length, so the 1-bit validity plane never travels
+    over the (scarce) host->device link."""
+    n = codes2.shape[0]
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    c = ((codes2[:, :, None] >> shifts) & 3).reshape(n, -1)[:, :length]
+    v = jnp.arange(length, dtype=jnp.int32)[None, :] < lengths[:, None]
+    return jnp.where(v, c.astype(jnp.int32), INVALID_CODE)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("length", "k", "t", "V", "wmax"))
+def probe_cascade2_clean(planes, codes2, lengths, length: int, k: int,
+                         t: int, V: int, wmax=None):
+    """Fused both-strand cascade for N-free reads (lengths replace the
+    validity plane in transport)."""
+    codes = unpack_codes_clean(codes2, lengths, length)
+    return _probe_cascade2(planes, codes, k, t, V, wmax)
 
 
 # --------------------------------------------------------------------------
@@ -332,12 +630,12 @@ def build_chunk(planes: jax.Array, codes: jax.Array, k: int):
 
 
 def _build_chunk_impl(planes: jax.Array, codes: jax.Array, k: int):
-    s = window_scan(codes, k, strand="fwd")
-    ok = s["ok"].reshape(-1)
+    wk = window_keys(codes, k, strand="fwd")
+    ok = wk["ok"].reshape(-1)
     w = plane_words(k)
 
-    a_lo, a_hi = s["fa_lo"].reshape(-1), s["fa_hi"].reshape(-1)
-    b_lo, b_hi = s["fb_lo"].reshape(-1), s["fb_hi"].reshape(-1)
+    a_lo, a_hi = wk["fa_lo"].reshape(-1), wk["fa_hi"].reshape(-1)
+    b_lo, b_hi = wk["fb_lo"].reshape(-1), wk["fb_hi"].reshape(-1)
     plane_keys = (
         (a_lo, a_hi),
         (b_lo, b_hi),
@@ -365,11 +663,18 @@ def count_kmers(codes: jax.Array, k: int):
     """Number of complete windows (indexable k-mers) per read - the quantity
     accumulated against max_kmer for partition boundaries
     (reference index_reads.h:55-58)."""
-    codes_t = codes.T.astype(jnp.int32)
-
-    def step(run, c):
-        run = jnp.where(c < INVALID_CODE, run + 1, 0)
-        return run, run >= k
-
-    _, oks = jax.lax.scan(step, codes_t[0] * 0, codes_t)
-    return oks.sum(axis=0, dtype=jnp.int32).T
+    b, L = codes.shape
+    L32 = -(-L // 32) * 32
+    if L32 != L:
+        codes = jnp.pad(codes, ((0, 0), (0, L32 - L)),
+                        constant_values=INVALID_CODE)
+    valid = (codes < INVALID_CODE).astype(jnp.uint32)
+    ext_v = _extract_all(_pack_bits_msb(valid, L32), L32)
+    W = max(1, L - k + 1)
+    full = jnp.uint32(0xFFFFFFFF)
+    if k <= 32:
+        vmask = full if k == 32 else jnp.uint32(((1 << k) - 1) << (32 - k))
+        ok = (ext_v[:, :W] & vmask) == vmask
+    else:
+        ok = (ext_v[:, :W] == full) & (ext_v[:, k - 32 : k - 32 + W] == full)
+    return ok.sum(axis=1, dtype=jnp.int32)

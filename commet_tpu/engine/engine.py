@@ -102,11 +102,18 @@ class Engine:
     against them, with reference partitioning semantics."""
 
     def __init__(self, k: int, t: int, batch: int = DEFAULT_BATCH,
-                 max_kmer: Optional[int] = None, mesh=None):
+                 max_kmer: Optional[int] = None, mesh=None,
+                 cascade: Optional[bool] = None):
         self.k = k
         self.t = t
         self.batch = batch
         self.max_kmer = max_kmer_for(k) if max_kmer is None else max_kmer
+        # cascade probe (plane-A prefilter + targeted verification + exact
+        # fallback); bit-exact vs the full probe, ~4x fewer plane gathers
+        if cascade is None:
+            cascade = os.environ.get("COMMET_TPU_CASCADE", "1") != "0"
+        self.cascade = cascade
+        self._verify_v = 4  # per-partition, set from the index fill estimate
         # multi-chip mode: membership planes sharded across the mesh's word
         # axis, query batches data-parallel (commet_tpu/parallel/sharded.py)
         self.mesh = mesh
@@ -119,17 +126,27 @@ class Engine:
             self._sharded_fns = sharded.build_search_step(mesh, k, t)
 
     # ---------------------------------------------------------------- utils
-    def _batched_codes(self, enc: EncodedSet, idx: np.ndarray):
-        """Yield (row_slice, codes_batch[B, lpad]) over idx in fixed batches."""
+    def _batched_codes(self, enc: EncodedSet, idx: np.ndarray,
+                       lpad: Optional[int] = None, bucket: bool = False):
+        """Yield (row_slice, codes_batch[B, lpad]) over idx in fixed batches.
+
+        bucket=True pads the batch dimension to the next power of two
+        (>= 2048, <= self.batch) instead of always self.batch — used for the
+        small remainder passes (rc strand, ambiguous fallback) so they don't
+        pay full-batch gather volume."""
         if len(idx) == 0:
             return
-        lengths = enc.read_lengths(idx)
-        lpad = _pad_length(int(lengths.max(initial=1)), self.k)
-        for start in range(0, len(idx), self.batch):
-            chunk = idx[start : start + self.batch]
+        if lpad is None:
+            lengths = enc.read_lengths(idx)
+            lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+        size = self.batch
+        if bucket:
+            size = min(self.batch, max(2048, 1 << (len(idx) - 1).bit_length()))
+        for start in range(0, len(idx), size):
+            chunk = idx[start : start + size]
             codes = enc.gather_batch(chunk, lpad)
-            if len(chunk) < self.batch:
-                pad = np.full((self.batch - len(chunk), lpad),
+            if len(chunk) < size:
+                pad = np.full((size - len(chunk), lpad),
                               kernels.INVALID_CODE, dtype=np.uint8)
                 codes = np.concatenate([codes, pad], axis=0)
             yield slice(start, start + len(chunk)), codes
@@ -256,26 +273,98 @@ class Engine:
                 tagged = search_fn(planes, jnp.asarray(codes, jnp.int32))
                 tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
             return tags
-        def run(kernel_plain, kernel_packed, codes):
-            if jax.devices()[0].platform == "cpu":
-                return kernel_plain(planes, jnp.asarray(codes, jnp.int32),
-                                    self.k, self.t)
-            c2, v = kernels.pack_codes_np(codes)
-            return kernel_packed(planes, jnp.asarray(c2), jnp.asarray(v),
-                                 codes.shape[1], self.k, self.t)
+        if self.cascade:
+            return self._search_cascade(planes, enc, idx)
+        return self._search_full(planes, enc, idx)
 
-        for sl, codes in self._batched_codes(enc, idx):
-            tagged = run(kernels.search_batch_fwd,
-                         kernels.search_batch_fwd_packed, codes)
+    def _search_full(self, planes, enc: EncodedSet, idx: np.ndarray):
+        """Exact full probe: forward strand over everything, then the
+        reverse-complement strand over the fwd-untagged remainder
+        (host-compacted) — the vectorized equivalent of the reference's
+        per-read fwd-then-rc early exit (search_reads.h:64-83)."""
+        tags = np.zeros(len(idx), dtype=bool)
+        for sl, codes in self._batched_codes(enc, idx, bucket=True):
+            tagged = self._run_full(planes, codes, "fwd")
             tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
         remaining = np.nonzero(~tags)[0]
         if len(remaining):
             rc_idx = idx[remaining]
-            for sl, codes in self._batched_codes(enc, rc_idx):
-                tagged = run(kernels.search_batch_rc,
-                             kernels.search_batch_rc_packed, codes)
+            for sl, codes in self._batched_codes(enc, rc_idx, bucket=True):
+                tagged = self._run_full(planes, codes, "rc")
                 got = np.asarray(tagged)[: sl.stop - sl.start]
                 tags[remaining[sl]] |= got
+        return tags
+
+    def _run_full(self, planes, codes, strand: str):
+        """Exact full 4-plane probe of one strand on one padded batch."""
+        plain = (kernels.search_batch_fwd if strand == "fwd"
+                 else kernels.search_batch_rc)
+        packed = (kernels.search_batch_fwd_packed if strand == "fwd"
+                  else kernels.search_batch_rc_packed)
+        if jax.devices()[0].platform == "cpu":
+            return plain(planes, jnp.asarray(codes, jnp.int32), self.k, self.t)
+        c2, v = kernels.pack_codes_np(codes)
+        return packed(planes, jnp.asarray(c2), jnp.asarray(v),
+                      codes.shape[1], self.k, self.t)
+
+    def _run_cascade2(self, planes, codes, wmax: int, v: int):
+        """Fused both-strand cascade on one padded batch. On non-CPU
+        backends the batch travels packed; N-free batches ship per-read
+        lengths instead of the 1-bit validity plane (25% fewer bytes on the
+        scarce tunneled uplink)."""
+        if jax.devices()[0].platform == "cpu":
+            return kernels.probe_cascade2(
+                planes, jnp.asarray(codes, jnp.int32), self.k, self.t,
+                v, wmax)
+        valid = codes != kernels.INVALID_CODE
+        # "clean" = every row's valid positions form a prefix (no internal N)
+        clean = bool((valid[:, :-1] >= valid[:, 1:]).all())
+        if clean:
+            c2 = kernels.pack_codes2_np(codes)
+            lengths = valid.sum(axis=1).astype(np.int32)
+            return kernels.probe_cascade2_clean(
+                planes, jnp.asarray(c2), jnp.asarray(lengths),
+                codes.shape[1], self.k, self.t, v, wmax)
+        c2, vv = kernels.pack_codes_np(codes)
+        return kernels.probe_cascade2_packed(
+            planes, jnp.asarray(c2), jnp.asarray(vv), codes.shape[1],
+            self.k, self.t, v, wmax)
+
+    def _search_cascade(self, planes, enc: EncodedSet, idx: np.ndarray):
+        """Cascade classification: one fused plane-A-prefilter +
+        targeted-verification kernel per batch decides most reads exactly
+        for both strands at once. AMBIG reads (mostly reads whose plane-A
+        hit runs extend past the verification window) get a second cascade
+        round with a wider window; only the residual re-runs through the
+        exact full probe. Final tags are bit-identical to the full probe
+        (kernels.py cascade soundness notes)."""
+        tags = np.zeros(len(idx), dtype=bool)
+        lengths = enc.read_lengths(idx)
+        lmax = int(lengths.max(initial=1))
+        lpad = _pad_length(lmax, self.k)
+        wmax = max(1, lmax - self.k + 1)
+        rounds = [self._verify_v]
+        if self._verify_v < 16:
+            rounds.append(16)
+        amb = np.arange(len(idx))
+        for v in rounds:
+            if not len(amb):
+                return tags
+            rows = idx[amb]
+            amb_parts = []
+            pending = []  # (slice, device verdict) — sync after dispatching
+            for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
+                                                 bucket=True):
+                pending.append((sl, self._run_cascade2(planes, codes,
+                                                       wmax, v)))
+            for sl, verdict in pending:
+                got = np.asarray(verdict)[: sl.stop - sl.start]
+                tags[amb[sl]] = got == kernels.VERDICT_TAGGED
+                amb_parts.append(amb[sl][got == kernels.VERDICT_AMBIG])
+            amb = (np.concatenate(amb_parts) if amb_parts
+                   else np.zeros(0, dtype=np.int64))
+        if len(amb):
+            tags[amb] = self._search_full(planes, enc, idx[amb])
         return tags
 
     def index_and_search(self, index_set: ReadSet, query_sets: List[ReadSet],
@@ -319,6 +408,11 @@ class Engine:
 
         planes = None
         for part in parts:
+            # size the cascade's verification window to the partition's fill:
+            # denser planes -> more A-hits per negative read -> verify more
+            # positions to keep the AMBIG fallback rate low
+            fill = float(kcounts[part].sum()) / float(2 ** self.k)
+            self._verify_v = 4 if fill < 0.02 else (12 if fill < 0.15 else 24)
             t0 = time.time()
             planes = self.build_planes(None, enc_index, elig[part])
             jax.block_until_ready(planes)

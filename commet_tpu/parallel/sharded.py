@@ -26,8 +26,8 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from commet_tpu.core import kernels
-from commet_tpu.core.kernels import (_four_plane_addrs, _greedy_count,
-                                     plane_words, window_scan)
+from commet_tpu.core.kernels import (_four_plane_addrs, _greedy,
+                                     plane_words, window_keys)
 
 shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
 if shard_map is None:  # pragma: no cover
@@ -74,7 +74,7 @@ def build_search_step(mesh: Mesh, k: int, t: int):
     def _build(planes_local, codes):
         # codes replicated: every chip scans everything, keeps its range
         lo = jax.lax.axis_index("d").astype(jnp.uint32) * np.uint32(w_local)
-        s = window_scan(codes, k)
+        s = window_keys(codes, k, strand="fwd")
         ok = s["ok"].reshape(-1)
         a_lo, a_hi = s["fa_lo"].reshape(-1), s["fa_hi"].reshape(-1)
         b_lo, b_hi = s["fb_lo"].reshape(-1), s["fb_hi"].reshape(-1)
@@ -97,7 +97,7 @@ def build_search_step(mesh: Mesh, k: int, t: int):
         lo = jax.lax.axis_index("d").astype(jnp.uint32) * np.uint32(w_local)
         # assemble the full batch on every chip, membership via psum
         codes = jax.lax.all_gather(codes_local, "d", tiled=True)
-        s = window_scan(codes, k)
+        s = window_keys(codes, k)
         ok = s["ok"]
         fw_w, fw_m = _four_plane_addrs(s["fa_lo"], s["fa_hi"],
                                        s["fb_lo"], s["fb_hi"], k)
@@ -109,8 +109,8 @@ def build_search_step(mesh: Mesh, k: int, t: int):
         both = jax.lax.psum(jnp.stack([part_f, part_r]).astype(jnp.int32), "d")
         mem_f = both[0].all(axis=0)  # AND over the 4 planes
         mem_r = both[1].all(axis=0)
-        cnt_f = _greedy_count(mem_f & ok, ok, k, t)
-        cnt_r = _greedy_count(mem_r & ok, ok, k, t)
+        cnt_f = _greedy(mem_f & ok, k, t)
+        cnt_r = _greedy(mem_r & ok, k, t)
         tags = (cnt_f >= t) | (cnt_r >= t)
         # keep only this chip's rows
         n_local = codes_local.shape[0]

@@ -89,3 +89,68 @@ def test_build_is_scatter_or():
     p1 = np.asarray(p1)
     p2 = kernels.build_chunk(jnp.asarray(p1), codes, k)
     assert (np.asarray(p2) == p1).all()
+
+
+@pytest.mark.parametrize("k,t,V", [(32, 2, 2), (33, 2, 4), (15, 3, 4),
+                                   (12, 2, 4)])
+def test_cascade_matches_full(k, t, V):
+    """The cascade probe (plane-A prefilter + targeted verify + exact
+    fallback) composed per the engine's flow must reproduce the full probe's
+    tags exactly — including at saturated fills (k=12) where most selection
+    goes ambiguous."""
+    rng = np.random.default_rng(1234 + k * 10 + t)
+    L = 90
+    idx_seqs = random_seqs(rng, 150, k, L, n_frac=0.0)
+    qry_seqs = random_seqs(rng, 300, k, L, n_frac=0.05)
+    # implant fwd and rc fragments of marginal lengths
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    for i in range(120):
+        fl = int(rng.integers(k, min(2 * k + 6, L - 1)))
+        d = idx_seqs[int(rng.integers(len(idx_seqs)))]
+        if len(d) < fl:
+            continue
+        ds = int(rng.integers(0, len(d) - fl + 1))
+        frag = d[ds : ds + fl]
+        if i % 2:
+            frag = frag.translate(comp)[::-1]
+        q = qry_seqs[i]
+        if len(q) <= fl:
+            qry_seqs[i] = frag
+        else:
+            pos = int(rng.integers(0, len(q) - fl))
+            qry_seqs[i] = q[:pos] + frag + q[pos + fl :]
+
+    lpad = max(max(len(s) for s in qry_seqs), k)
+    planes = kernels.alloc_planes(k)
+    planes = kernels.build_chunk(planes, jnp.asarray(encode(idx_seqs, lpad)), k)
+    qcodes = encode(qry_seqs, lpad)
+    expected, _ = kernels.search_batch(planes, jnp.asarray(qcodes), k, t)
+    expected = np.asarray(expected)
+
+    tags = np.zeros(len(qry_seqs), dtype=bool)
+    undec = np.arange(len(qry_seqs))
+    for strand in ("fwd", "rc"):
+        if not len(undec):
+            break
+        v = np.asarray(kernels.probe_cascade(
+            planes, jnp.asarray(qcodes[undec]), k, t, V, strand))
+        tags[undec[v == kernels.VERDICT_TAGGED]] = True
+        amb = undec[v == kernels.VERDICT_AMBIG]
+        if len(amb):
+            fn = (kernels.search_batch_fwd if strand == "fwd"
+                  else kernels.search_batch_rc)
+            got = np.asarray(fn(planes, jnp.asarray(qcodes[amb]), k, t))
+            tags[amb] |= got
+        undec = undec[~tags[undec]]
+    assert (tags == expected).all(), np.nonzero(tags != expected)
+
+    # fused both-strand cascade + full fallback must agree too
+    v2 = np.asarray(kernels.probe_cascade2(
+        planes, jnp.asarray(qcodes), k, t, V,
+        max(1, max(len(s) for s in qry_seqs) - k + 1)))
+    tags2 = v2 == kernels.VERDICT_TAGGED
+    amb2 = np.nonzero(v2 == kernels.VERDICT_AMBIG)[0]
+    if len(amb2):
+        got, _ = kernels.search_batch(planes, jnp.asarray(qcodes[amb2]), k, t)
+        tags2[amb2] = np.asarray(got)
+    assert (tags2 == expected).all(), np.nonzero(tags2 != expected)
