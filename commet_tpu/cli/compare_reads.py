@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     from commet_tpu.config import enable_compile_cache
     enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__, file=sys.stderr)
+        return 0
     index_file_list = ""
     search_file_list = ""
     kmer_size = 33
@@ -32,6 +35,11 @@ def main(argv=None) -> int:
     log_path = "."
     out_path = "."
     i = 0
+    if argv and argv[-1] in ("-i", "-s", "-l", "-o", "-k",
+                             "-t", "-n", "-m", "-e", "-c"):
+        print(f"Error, flag {argv[-1]} needs an argument",
+              file=sys.stderr)
+        sys.exit(1)
     while i < len(argv):
         flag = argv[i]
         if flag == "-i":
@@ -57,6 +65,10 @@ def main(argv=None) -> int:
             return 0
         i += 1
 
+    if not index_file_list or not search_file_list:
+        print("Error: -i and -s are mandatory", file=sys.stderr)
+        print(__doc__, file=sys.stderr)
+        sys.exit(1)
     os.makedirs(log_path, exist_ok=True)
     os.makedirs(out_path, exist_ok=True)
 

@@ -49,6 +49,9 @@ def build_comment(input_file_name: str, min_size: int, max_n: int,
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__, file=sys.stderr)
+        return 0
     begin = time.time()
     input_file_name = ""
     output_file_name = ""
@@ -59,6 +62,11 @@ def main(argv=None) -> int:
     c_opt = None
 
     i = 0
+    if argv and argv[-1] in ("-i", "-s", "-l", "-o", "-k",
+                             "-t", "-n", "-m", "-e", "-c"):
+        print(f"Error, flag {argv[-1]} needs an argument",
+              file=sys.stderr)
+        sys.exit(1)
     while i < len(argv):
         flag = argv[i]
         if not flag.startswith("-"):

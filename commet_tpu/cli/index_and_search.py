@@ -24,10 +24,33 @@ def load_set(name: str, entries) -> ReadSet:
     return rs
 
 
+VERSION = "2.1-tpu"
+
+USAGE = """
+index_and_search, version %s
+Usage : index_and_search -i <file> -s <file> [options]
+Mandatory:
+\t -i <file>: A file containing the list of files to index - MANDATORY
+\t -s <file>: A file containing the list of files to search - MANDATORY
+\t            Each line of the file corresponds to a set of files to search
+Options:
+\t -l </.../>: path to log folder
+\t -o </.../>: path to output folder
+\t -k <value>: Size of k-mers (value of k). [default=33]
+\t -t <value>: Number of shared k-mers. [default=2]
+\t -f: Full comparison of index set and the first searched set [default=false]
+\t -h: Prints this message
+\t -v: Prints the version number
+""" % VERSION
+
+
 def main(argv=None) -> int:
     from commet_tpu.config import enable_compile_cache
     enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(USAGE, file=sys.stderr)
+        return 0
     index_file_list = ""
     search_file_list = ""
     kmer_size = 33
@@ -37,6 +60,11 @@ def main(argv=None) -> int:
     full = False
 
     i = 0
+    if argv and argv[-1] in ("-i", "-s", "-l", "-o", "-k",
+                             "-t", "-n", "-m", "-e", "-c"):
+        print(f"Error, flag {argv[-1]} needs an argument",
+              file=sys.stderr)
+        sys.exit(1)
     while i < len(argv):
         flag = argv[i]
         if flag == "-i":
@@ -62,13 +90,21 @@ def main(argv=None) -> int:
         elif flag == "-f":
             full = True
         elif flag == "-h":
-            print(__doc__)
+            print(USAGE, file=sys.stderr)
+            return 0
+        elif flag == "-v":
+            print(f"\nindex_and_search version {VERSION}")
             return 0
         else:
             print(f"Unknown option {flag}", file=sys.stderr)
+            print(USAGE, file=sys.stderr)
             return 0
         i += 1
 
+    if not index_file_list or not search_file_list:
+        print("Error: -i and -s are mandatory", file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        sys.exit(1)
     os.makedirs(log_path, exist_ok=True)
     os.makedirs(out_path, exist_ok=True)
 

@@ -96,6 +96,41 @@ class EncodedSet:
             return np.zeros(0, dtype=np.int32)
         return np.array([self.lengths[fi][pos] for fi, pos in idx], dtype=np.int32)
 
+    def gather_packed(self, idx: np.ndarray, lpad: int, rows_pad: int):
+        """Assemble a batch directly in the device wire format:
+        (codes2 [R, ceil(lpad/16)], valid [R, ceil(lpad/32)], lens [R],
+        clean). Pad rows (R > len(idx)) stay all-invalid. Uses the native
+        one-pass gather+pack when available."""
+        w16, w32 = -(-lpad // 16), -(-lpad // 32)
+        c2 = np.zeros((rows_pad, w16), dtype=np.uint32)
+        vd = np.zeros((rows_pad, w32), dtype=np.uint32)
+        ln = np.zeros(rows_pad, dtype=np.int32)
+        clean = True
+        try:
+            from commet_tpu.native import parser as native
+            have_native = native.available()
+        except Exception:
+            have_native = False
+        if have_native:
+            for fi in range(len(self.flat_codes)):
+                rows = np.nonzero(idx[:, 0] == fi)[0]
+                if not len(rows):
+                    continue
+                sc2, svd, sln, dirty = native.gather_packed(
+                    self.flat_codes[fi], self.offsets[fi], self.lengths[fi],
+                    idx[rows, 1], lpad)
+                c2[rows], vd[rows], ln[rows] = sc2, svd, sln
+                clean &= not dirty
+            return c2, vd, ln, clean
+        from commet_tpu.core import kernels as _k
+        codes = self.gather_batch(idx, lpad)
+        pc2, pvd = _k.pack_codes_np(codes)
+        c2[: len(idx)], vd[: len(idx)] = pc2, pvd
+        valid = codes != _k.INVALID_CODE
+        ln[: len(idx)] = valid.sum(axis=1)
+        clean = bool((valid[:, :-1] >= valid[:, 1:]).all())
+        return c2, vd, ln, clean
+
 
 class Engine:
     """Builds membership planes from an index set and classifies query sets
@@ -150,6 +185,20 @@ class Engine:
                               kernels.INVALID_CODE, dtype=np.uint8)
                 codes = np.concatenate([codes, pad], axis=0)
             yield slice(start, start + len(chunk)), codes
+
+    def _batched_packed(self, enc: EncodedSet, idx: np.ndarray,
+                        lpad: int, bucket: bool = False):
+        """Yield (row_slice, codes2, valid, lens, clean) wire-format batches
+        (see _batched_codes for the bucketing rule)."""
+        if len(idx) == 0:
+            return
+        size = self.batch
+        if bucket:
+            size = min(self.batch, max(2048, 1 << (len(idx) - 1).bit_length()))
+        for start in range(0, len(idx), size):
+            chunk = idx[start : start + size]
+            c2, vd, ln, clean = enc.gather_packed(chunk, lpad, size)
+            yield slice(start, start + len(chunk)), c2, vd, ln, clean
 
     @staticmethod
     def _native():
@@ -230,11 +279,11 @@ class Engine:
         if jax.devices()[0].platform != "cpu":
             # packed transport: the tunneled uplink is the bottleneck
             planes = kernels.alloc_planes(self.k) if planes is None else planes
-            for _, codes in self._batched_codes(enc, idx):
-                c2, v = kernels.pack_codes_np(codes)
+            lengths = enc.read_lengths(idx)
+            lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+            for _sl, c2, vd, _ln, _cl in self._batched_packed(enc, idx, lpad):
                 planes = kernels.build_chunk_packed(
-                    planes, jnp.asarray(c2), jnp.asarray(v),
-                    codes.shape[1], self.k)
+                    planes, jnp.asarray(c2), jnp.asarray(vd), lpad, self.k)
             return planes
         native = self._native()
         # host build + upload only pays off when the "upload" is a local
@@ -282,53 +331,34 @@ class Engine:
         reverse-complement strand over the fwd-untagged remainder
         (host-compacted) — the vectorized equivalent of the reference's
         per-read fwd-then-rc early exit (search_reads.h:64-83)."""
+        on_cpu = jax.devices()[0].platform == "cpu"
+        lengths = enc.read_lengths(idx) if len(idx) else np.zeros(1)
+        lpad = _pad_length(int(lengths.max(initial=1)), self.k)
         tags = np.zeros(len(idx), dtype=bool)
-        for sl, codes in self._batched_codes(enc, idx, bucket=True):
-            tagged = self._run_full(planes, codes, "fwd")
-            tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
+
+        def run_strand(rows, strand, out_rows):
+            plain = (kernels.search_batch_fwd if strand == "fwd"
+                     else kernels.search_batch_rc)
+            packed = (kernels.search_batch_fwd_packed if strand == "fwd"
+                      else kernels.search_batch_rc_packed)
+            if on_cpu:
+                for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
+                                                     bucket=True):
+                    got = plain(planes, jnp.asarray(codes, jnp.int32),
+                                self.k, self.t)
+                    tags[out_rows[sl]] |= np.asarray(got)[: sl.stop - sl.start]
+            else:
+                for sl, c2, vd, _ln, _cl in self._batched_packed(
+                        enc, rows, lpad, bucket=True):
+                    got = packed(planes, jnp.asarray(c2), jnp.asarray(vd),
+                                 lpad, self.k, self.t)
+                    tags[out_rows[sl]] |= np.asarray(got)[: sl.stop - sl.start]
+
+        run_strand(idx, "fwd", np.arange(len(idx)))
         remaining = np.nonzero(~tags)[0]
         if len(remaining):
-            rc_idx = idx[remaining]
-            for sl, codes in self._batched_codes(enc, rc_idx, bucket=True):
-                tagged = self._run_full(planes, codes, "rc")
-                got = np.asarray(tagged)[: sl.stop - sl.start]
-                tags[remaining[sl]] |= got
+            run_strand(idx[remaining], "rc", remaining)
         return tags
-
-    def _run_full(self, planes, codes, strand: str):
-        """Exact full 4-plane probe of one strand on one padded batch."""
-        plain = (kernels.search_batch_fwd if strand == "fwd"
-                 else kernels.search_batch_rc)
-        packed = (kernels.search_batch_fwd_packed if strand == "fwd"
-                  else kernels.search_batch_rc_packed)
-        if jax.devices()[0].platform == "cpu":
-            return plain(planes, jnp.asarray(codes, jnp.int32), self.k, self.t)
-        c2, v = kernels.pack_codes_np(codes)
-        return packed(planes, jnp.asarray(c2), jnp.asarray(v),
-                      codes.shape[1], self.k, self.t)
-
-    def _run_cascade2(self, planes, codes, wmax: int, v: int):
-        """Fused both-strand cascade on one padded batch. On non-CPU
-        backends the batch travels packed; N-free batches ship per-read
-        lengths instead of the 1-bit validity plane (25% fewer bytes on the
-        scarce tunneled uplink)."""
-        if jax.devices()[0].platform == "cpu":
-            return kernels.probe_cascade2(
-                planes, jnp.asarray(codes, jnp.int32), self.k, self.t,
-                v, wmax)
-        valid = codes != kernels.INVALID_CODE
-        # "clean" = every row's valid positions form a prefix (no internal N)
-        clean = bool((valid[:, :-1] >= valid[:, 1:]).all())
-        if clean:
-            c2 = kernels.pack_codes2_np(codes)
-            lengths = valid.sum(axis=1).astype(np.int32)
-            return kernels.probe_cascade2_clean(
-                planes, jnp.asarray(c2), jnp.asarray(lengths),
-                codes.shape[1], self.k, self.t, v, wmax)
-        c2, vv = kernels.pack_codes_np(codes)
-        return kernels.probe_cascade2_packed(
-            planes, jnp.asarray(c2), jnp.asarray(vv), codes.shape[1],
-            self.k, self.t, v, wmax)
 
     def _search_cascade(self, planes, enc: EncodedSet, idx: np.ndarray):
         """Cascade classification: one fused plane-A-prefilter +
@@ -338,6 +368,7 @@ class Engine:
         round with a wider window; only the residual re-runs through the
         exact full probe. Final tags are bit-identical to the full probe
         (kernels.py cascade soundness notes)."""
+        on_cpu = jax.devices()[0].platform == "cpu"
         tags = np.zeros(len(idx), dtype=bool)
         lengths = enc.read_lengths(idx)
         lmax = int(lengths.max(initial=1))
@@ -351,12 +382,26 @@ class Engine:
             if not len(amb):
                 return tags
             rows = idx[amb]
-            amb_parts = []
             pending = []  # (slice, device verdict) — sync after dispatching
-            for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
-                                                 bucket=True):
-                pending.append((sl, self._run_cascade2(planes, codes,
-                                                       wmax, v)))
+            if on_cpu:
+                for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
+                                                     bucket=True):
+                    pending.append((sl, kernels.probe_cascade2(
+                        planes, jnp.asarray(codes, jnp.int32), self.k,
+                        self.t, v, wmax)))
+            else:
+                for sl, c2, vd, ln, clean in self._batched_packed(
+                        enc, rows, lpad, bucket=True):
+                    if clean:
+                        verdict = kernels.probe_cascade2_clean(
+                            planes, jnp.asarray(c2), jnp.asarray(ln), lpad,
+                            self.k, self.t, v, wmax)
+                    else:
+                        verdict = kernels.probe_cascade2_packed(
+                            planes, jnp.asarray(c2), jnp.asarray(vd), lpad,
+                            self.k, self.t, v, wmax)
+                    pending.append((sl, verdict))
+            amb_parts = []
             for sl, verdict in pending:
                 got = np.asarray(verdict)[: sl.stop - sl.start]
                 tags[amb[sl]] = got == kernels.VERDICT_TAGGED

@@ -50,6 +50,12 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    lib.cio_gather_packed.restype = ctypes.c_int
+    lib.cio_gather_packed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
     lib.cio_build_planes.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
@@ -133,6 +139,30 @@ def count_kmers(codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
             len(idx), k,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out
+
+
+def gather_packed(codes: np.ndarray, offsets: np.ndarray,
+                  lengths: np.ndarray, idx: np.ndarray, lpad: int):
+    """Gather + pack reads ``idx`` directly into the device wire format.
+    Returns (codes2 [n, ceil(lpad/16)] uint32, valid [n, ceil(lpad/32)]
+    uint32, lens [n] int32, dirty) — dirty=True when some read carries an
+    INTERNAL invalid base (batch not 'clean')."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    n = len(idx)
+    c2 = np.zeros((n, -(-lpad // 16)), dtype=np.uint32)
+    vd = np.zeros((n, -(-lpad // 32)), dtype=np.uint32)
+    ln = np.zeros(n, dtype=np.int32)
+    dirty = lib.cio_gather_packed(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, lpad,
+        c2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return c2, vd, ln, bool(dirty)
 
 
 def gather_batch(codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,

@@ -200,6 +200,44 @@ void cio_gather_batch(const uint8_t* codes, const int64_t* offsets,
   }
 }
 
+// Gather + transport-pack in one pass: rows idx[i] padded to lpad columns,
+// emitted directly in the packed host->device wire format used by the
+// device kernels (kernels.pack_codes_np layout): 2-bit base codes LSB-first
+// 16 per uint32 word, validity bits LSB-first 32 per word. Returns 1 if any
+// read has an INTERNAL invalid base (i.e. the batch is not "clean": clean
+// batches can ship per-read lengths instead of the validity plane).
+// out_codes2 must hold n_idx * ceil(lpad/16) words, out_valid n_idx *
+// ceil(lpad/32) words, out_lens n_idx int32.
+int cio_gather_packed(const uint8_t* codes, const int64_t* offsets,
+                      const int32_t* lengths, const int64_t* idx,
+                      int64_t n_idx, int64_t lpad, uint32_t* out_codes2,
+                      uint32_t* out_valid, int32_t* out_lens) {
+  const int64_t w16 = (lpad + 15) / 16;
+  const int64_t w32 = (lpad + 31) / 32;
+  int dirty = 0;
+  for (int64_t r = 0; r < n_idx; r++) {
+    int64_t read = idx[r];
+    const uint8_t* seq = codes + offsets[read];
+    int64_t ln = lengths[read];
+    if (ln > lpad) ln = lpad;
+    uint32_t* c2 = out_codes2 + r * w16;
+    uint32_t* vd = out_valid + r * w32;
+    memset(c2, 0, (size_t)w16 * 4);
+    memset(vd, 0, (size_t)w32 * 4);
+    for (int64_t i = 0; i < ln; i++) {
+      uint8_t c = seq[i];
+      if (c < 4) {
+        c2[i >> 4] |= ((uint32_t)c) << ((i & 15) * 2);
+        vd[i >> 5] |= 1u << (i & 31);
+      } else {
+        dirty = 1;  // internal invalid (pad region never reaches here)
+      }
+    }
+    out_lens[r] = (int32_t)ln;
+  }
+  return dirty;
+}
+
 // Build the 4 membership planes from 2-bit-coded reads (forward strand,
 // every complete window - reference include/index_reads.h:49-61). Plane
 // layout matches the device kernels (commet_tpu/core/kernels.py): plane p is
