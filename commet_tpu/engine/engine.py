@@ -138,7 +138,8 @@ class Engine:
 
     def __init__(self, k: int, t: int, batch: int = DEFAULT_BATCH,
                  max_kmer: Optional[int] = None, mesh=None,
-                 cascade: Optional[bool] = None):
+                 cascade: Optional[bool] = None,
+                 mesh_mode: Optional[str] = None):
         self.k = k
         self.t = t
         self.batch = batch
@@ -149,16 +150,28 @@ class Engine:
             cascade = os.environ.get("COMMET_TPU_CASCADE", "1") != "0"
         self.cascade = cascade
         self._verify_v = 4  # per-partition, set from the index fill estimate
-        # multi-chip mode: membership planes sharded across the mesh's word
-        # axis, query batches data-parallel (commet_tpu/parallel/sharded.py)
+        # multi-chip modes (commet_tpu/parallel/sharded.py):
+        #   dp    - planes replicated, batch sharded: linear reads/s scaling,
+        #           reuses the single-chip cascade kernels via GSPMD
+        #   plane - planes sharded on the word axis (k too large for one
+        #           chip's HBM), batch replicated, psum-merged membership
         self.mesh = mesh
+        self.mesh_mode = None
         self._sharded_fns = None
+        self._rep_sharding = self._batch_sharding = None
         if mesh is not None:
             from commet_tpu.parallel import sharded
             if batch % mesh.devices.size != 0:
                 raise ValueError("batch must divide evenly across the mesh")
             self._sharded = sharded
-            self._sharded_fns = sharded.build_search_step(mesh, k, t)
+            if mesh_mode is None:
+                mesh_mode = "dp" if sharded.dp_fits(k) else "plane"
+            self.mesh_mode = mesh_mode
+            if self.mesh_mode == "dp":
+                self._rep_sharding, self._batch_sharding = \
+                    sharded.dp_shardings(mesh)
+            else:
+                self._sharded_fns = sharded.build_search_step(mesh, k, t)
 
     # ---------------------------------------------------------------- utils
     def _batched_codes(self, enc: EncodedSet, idx: np.ndarray,
@@ -177,6 +190,9 @@ class Engine:
         size = self.batch
         if bucket:
             size = min(self.batch, max(2048, 1 << (len(idx) - 1).bit_length()))
+            if self.mesh is not None:
+                n = self.mesh.devices.size
+                size = -(-size // n) * n
         for start in range(0, len(idx), size):
             chunk = idx[start : start + size]
             codes = enc.gather_batch(chunk, lpad)
@@ -195,6 +211,9 @@ class Engine:
         size = self.batch
         if bucket:
             size = min(self.batch, max(2048, 1 << (len(idx) - 1).bit_length()))
+            if self.mesh is not None:
+                n = self.mesh.devices.size
+                size = -(-size // n) * n
         for start in range(0, len(idx), size):
             chunk = idx[start : start + size]
             c2, vd, ln, clean = enc.gather_packed(chunk, lpad, size)
@@ -207,6 +226,16 @@ class Engine:
             return native if native.available() else None
         except Exception:
             return None
+
+    def _dev(self, arr, kind: str = "batch"):
+        """Host array -> device array; in DP mesh mode, batch arrays land
+        sharded on the read axis and planes replicated (GSPMD partitions
+        the single-chip kernels from these shardings alone)."""
+        if self._batch_sharding is not None:
+            sh = (self._batch_sharding if kind == "batch"
+                  else self._rep_sharding)
+            return jax.device_put(np.asarray(arr), sh)
+        return jnp.asarray(arr)
 
     def count_kmers(self, enc: EncodedSet, idx: np.ndarray) -> np.ndarray:
         """Per-read complete-window counts for the partitioning cursor."""
@@ -269,7 +298,7 @@ class Engine:
         access pattern (~65M descriptors/s measured on v5e) while the host
         sustains it easily. Device scatter path kept as fallback.
         """
-        if self.mesh is not None:
+        if self._sharded_fns is not None:
             build_fn, _ = self._sharded_fns
             if planes is None:
                 planes = self._sharded.alloc_planes_sharded(self.k, self.mesh)
@@ -278,12 +307,15 @@ class Engine:
             return planes
         if jax.devices()[0].platform != "cpu":
             # packed transport: the tunneled uplink is the bottleneck
-            planes = kernels.alloc_planes(self.k) if planes is None else planes
+            if planes is None:
+                planes = self._dev(np.zeros(4 * kernels.plane_words(self.k),
+                                            dtype=np.uint32), "rep")
             lengths = enc.read_lengths(idx)
             lpad = _pad_length(int(lengths.max(initial=1)), self.k)
             for _sl, c2, vd, _ln, _cl in self._batched_packed(enc, idx, lpad):
                 planes = kernels.build_chunk_packed(
-                    planes, jnp.asarray(c2), jnp.asarray(vd), lpad, self.k)
+                    planes, self._dev(c2, "rep"), self._dev(vd, "rep"),
+                    lpad, self.k)
             return planes
         native = self._native()
         # host build + upload only pays off when the "upload" is a local
@@ -299,12 +331,13 @@ class Engine:
                     native.build_planes_into(
                         planes_np, enc.flat_codes[fi], enc.offsets[fi],
                         enc.lengths[fi], idx[rows, 1], self.k)
-            return jnp.asarray(planes_np)
+            return self._dev(planes_np, "rep")
         if planes is None:
-            planes = kernels.alloc_planes(self.k)
+            planes = self._dev(np.zeros(4 * kernels.plane_words(self.k),
+                                        dtype=np.uint32), "rep")
         for _, codes in self._batched_codes(enc, idx):
-            planes = kernels.build_chunk(planes, jnp.asarray(codes, jnp.int32),
-                                         self.k)
+            planes = kernels.build_chunk(
+                planes, self._dev(np.asarray(codes, np.int32), "rep"), self.k)
         return planes
 
     def search_set(self, planes, enc: EncodedSet, idx: np.ndarray):
@@ -316,7 +349,7 @@ class Engine:
         reference's per-read fwd-then-rc early exit (search_reads.h:64-83).
         """
         tags = np.zeros(len(idx), dtype=bool)
-        if self.mesh is not None:
+        if self._sharded_fns is not None:
             _, search_fn = self._sharded_fns
             for sl, codes in self._batched_codes(enc, idx):
                 tagged = search_fn(planes, jnp.asarray(codes, jnp.int32))
@@ -344,13 +377,14 @@ class Engine:
             if on_cpu:
                 for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
                                                      bucket=True):
-                    got = plain(planes, jnp.asarray(codes, jnp.int32),
+                    got = plain(planes,
+                                self._dev(np.asarray(codes, np.int32)),
                                 self.k, self.t)
                     tags[out_rows[sl]] |= np.asarray(got)[: sl.stop - sl.start]
             else:
                 for sl, c2, vd, _ln, _cl in self._batched_packed(
                         enc, rows, lpad, bucket=True):
-                    got = packed(planes, jnp.asarray(c2), jnp.asarray(vd),
+                    got = packed(planes, self._dev(c2), self._dev(vd),
                                  lpad, self.k, self.t)
                     tags[out_rows[sl]] |= np.asarray(got)[: sl.stop - sl.start]
 
@@ -387,18 +421,18 @@ class Engine:
                 for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
                                                      bucket=True):
                     pending.append((sl, kernels.probe_cascade2(
-                        planes, jnp.asarray(codes, jnp.int32), self.k,
-                        self.t, v, wmax)))
+                        planes, self._dev(np.asarray(codes, np.int32)),
+                        self.k, self.t, v, wmax)))
             else:
                 for sl, c2, vd, ln, clean in self._batched_packed(
                         enc, rows, lpad, bucket=True):
                     if clean:
                         verdict = kernels.probe_cascade2_clean(
-                            planes, jnp.asarray(c2), jnp.asarray(ln), lpad,
+                            planes, self._dev(c2), self._dev(ln), lpad,
                             self.k, self.t, v, wmax)
                     else:
                         verdict = kernels.probe_cascade2_packed(
-                            planes, jnp.asarray(c2), jnp.asarray(vd), lpad,
+                            planes, self._dev(c2), self._dev(vd), lpad,
                             self.k, self.t, v, wmax)
                     pending.append((sl, verdict))
             amb_parts = []

@@ -41,6 +41,29 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("d",))
 
 
+# --------------------------------------------------------------------------
+# Data-parallel mode (planes replicated, batch sharded)
+#
+# The probe is descriptor-rate bound per chip (~65M random gathers/s on
+# v5e), so throughput scales with chips only if each chip probes a DISJOINT
+# slice of the batch. When the 4 membership planes fit in one chip's HBM
+# (2^(k-1) bytes: 4 GiB at the k=33 default), replicate them and shard the
+# read axis — GSPMD then partitions the existing single-chip kernels with
+# no collectives on the hot path (tags come back batch-sharded). The
+# plane-sharded mode below remains for k > 33 (planes exceed HBM).
+# --------------------------------------------------------------------------
+
+
+def dp_shardings(mesh: Mesh):
+    """(replicated, batch-sharded) NamedShardings for DP mode."""
+    return (NamedSharding(mesh, P()), NamedSharding(mesh, P("d")))
+
+
+def dp_fits(k: int, hbm_bytes: int = 12 << 30) -> bool:
+    """Do the 4 planes (2^(k-1) bytes) fit comfortably in one chip's HBM?"""
+    return (1 << max(k - 1, 0)) <= hbm_bytes // 2
+
+
 def alloc_planes_sharded(k: int, mesh: Mesh):
     """[4, W] uint32 planes, word axis sharded over mesh axis 'd'."""
     w = plane_words(k)

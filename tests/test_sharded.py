@@ -59,7 +59,8 @@ def test_sharded_engine_matches_golden(mesh, tmp_path):
     query = ReadSet("B")
     query.add_file("ABCDE_bench/B.fa")
 
-    eng = Engine(k=15, t=2, batch=4096, mesh=mesh)
+    eng = Engine(k=15, t=2, batch=4096, mesh=mesh,
+                 mesh_mode="plane")
     out = str(tmp_path)
     eng.index_and_search(index_set, [query], out_dir=out, log_dir=out)
 
@@ -79,3 +80,59 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (args[1].shape[0],)
+
+
+@pytest.mark.parametrize("k", [15, 18])
+def test_dp_mode_matches_single(mesh, k):
+    """DP mesh mode (planes replicated, batch sharded, GSPMD-partitioned
+    cascade kernels) must match the single-device kernels exactly."""
+    t = 2
+    rng = np.random.default_rng(7)
+    n, lpad = 64, 96
+    idx_codes = rng.integers(0, 4, size=(n, lpad)).astype(np.int32)
+    qry_codes = rng.integers(0, 4, size=(n, lpad)).astype(np.int32)
+    qry_codes[rng.random(size=qry_codes.shape) < 0.05] = 4
+    qry_codes[: n // 2, 20 : 20 + 2 * k] = idx_codes[: n // 2, 8 : 8 + 2 * k]
+
+    p1 = kernels.build_chunk(kernels.alloc_planes(k), jnp.asarray(idx_codes), k)
+    tag1, _ = kernels.search_batch(p1, jnp.asarray(qry_codes), k, t)
+
+    rep, bsh = sharded.dp_shardings(mesh)
+    planes = jax.device_put(
+        np.zeros(4 * kernels.plane_words(k), dtype=np.uint32), rep)
+    planes = kernels.build_chunk(planes, jax.device_put(idx_codes, rep), k)
+    assert (np.asarray(planes) == np.asarray(p1)).all()
+    v = np.asarray(kernels.probe_cascade2(
+        planes, jax.device_put(qry_codes, bsh), k, t, 4, lpad - k + 1))
+    tags = v == kernels.VERDICT_TAGGED
+    amb = np.nonzero(v == kernels.VERDICT_AMBIG)[0]
+    if len(amb):
+        got, _ = kernels.search_batch(planes, jnp.asarray(qry_codes[amb]), k, t)
+        tags[amb] = np.asarray(got)
+    assert (tags == np.asarray(tag1)).all()
+
+
+def test_engine_dp_mode_counters(mesh):
+    """Engine in DP mesh mode must reproduce single-chip counters."""
+    import os
+
+    from commet_tpu.engine.engine import Engine
+    from commet_tpu.io.reads import ReadSet
+
+    os.chdir("/root/reference")
+
+    def mkset(name, f):
+        rs = ReadSet(name)
+        rs.add_file(f)
+        return rs
+
+    k, t = 15, 2
+    e_dp = Engine(k=k, t=t, batch=2048, mesh=mesh)
+    assert e_dp.mesh_mode == "dp"
+    e_1 = Engine(k=k, t=t, batch=2048)
+    c_dp = e_dp.index_and_search(mkset("A", "ABCDE_bench/A.fa"),
+                                 [mkset("B", "ABCDE_bench/B.fa")], save=False)
+    c_1 = e_1.index_and_search(mkset("A", "ABCDE_bench/A.fa"),
+                               [mkset("B", "ABCDE_bench/B.fa")], save=False)
+    for key in ("indexed", "searched", "shared"):
+        assert c_dp["B"][key] == c_1["B"][key]
