@@ -289,6 +289,17 @@ class Engine:
                 break
         return parts
 
+
+    def _alloc_planes(self):
+        """Zero planes allocated ON DEVICE (never ship 2^(k-1) host bytes
+        through the tunnel); replicated over the mesh in DP mode."""
+        if self._rep_sharding is not None:
+            import functools
+            fn = jax.jit(functools.partial(kernels.alloc_planes, self.k),
+                         out_shardings=self._rep_sharding)
+            return fn()
+        return kernels.alloc_planes(self.k)
+
     # ------------------------------------------------------------ main flow
     def build_planes(self, planes, enc: EncodedSet, idx: np.ndarray):
         """Feed every window of the partition's reads into the planes.
@@ -308,8 +319,7 @@ class Engine:
         if jax.devices()[0].platform != "cpu":
             # packed transport: the tunneled uplink is the bottleneck
             if planes is None:
-                planes = self._dev(np.zeros(4 * kernels.plane_words(self.k),
-                                            dtype=np.uint32), "rep")
+                planes = self._alloc_planes()
             lengths = enc.read_lengths(idx)
             lpad = _pad_length(int(lengths.max(initial=1)), self.k)
             for _sl, c2, vd, _ln, _cl in self._batched_packed(enc, idx, lpad):
@@ -333,8 +343,7 @@ class Engine:
                         enc.lengths[fi], idx[rows, 1], self.k)
             return self._dev(planes_np, "rep")
         if planes is None:
-            planes = self._dev(np.zeros(4 * kernels.plane_words(self.k),
-                                        dtype=np.uint32), "rep")
+            planes = self._alloc_planes()
         for _, codes in self._batched_codes(enc, idx):
             planes = kernels.build_chunk(
                 planes, self._dev(np.asarray(codes, np.int32), "rep"), self.k)

@@ -21,3 +21,22 @@ from commet_tpu.config import enable_compile_cache  # noqa: E402
 enable_compile_cache()
 
 REFERENCE_DIR = "/root/reference"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Outside this environment (e.g. CI) the upstream dataset mounted at
+    /root/reference is absent; skip the tests that read it. Golden outputs
+    are checked in, so pure-kernel and codec tests still run everywhere."""
+    import pytest
+
+    if os.path.isdir(REFERENCE_DIR):
+        return
+    needs_ref = (
+        "test_engine_golden", "test_filter", "test_native",
+        "test_one_vs_all", "test_pipeline_golden", "test_sharded",
+        "test_three_pass", "test_tools_golden",
+    )
+    skip = pytest.mark.skip(reason="/root/reference dataset not available")
+    for item in items:
+        if any(n in str(item.fspath) for n in needs_ref):
+            item.add_marker(skip)
