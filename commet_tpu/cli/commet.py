@@ -258,6 +258,11 @@ def main(argv=None) -> int:
     parser.add_argument("-n", type=int, default=-1)
     parser.add_argument("-e", type=float, default=0)
     parser.add_argument("-m", type=int, default=-1)
+    parser.add_argument("--devices", type=str, default=None,
+                        help="number of TPU chips to use (or 'all'); planes "
+                             "replicate and the read axis shards when they "
+                             "fit HBM, else planes shard (sets "
+                             "COMMET_TPU_DEVICES)")
     parser.add_argument("--batch", type=int, default=4096,
                         help="device batch size (reads per search step)")
     parser.add_argument("--jobs", type=int, default=1,
@@ -290,7 +295,10 @@ def main(argv=None) -> int:
         bv_matrix = [[out_dir + os.path.basename(f) + ".bv" for f in line]
                      for line in read_matrix]
 
-    eng = Engine(k=k, t=t, batch=args.batch)
+    if args.devices:
+        os.environ["COMMET_TPU_DEVICES"] = args.devices
+    from commet_tpu.parallel.sharded import auto_mesh
+    eng = Engine(k=k, t=t, batch=args.batch, mesh=auto_mesh())
     end = 1 if args.one_vs_all else len(read_matrix) - 1
     if args.jobs > 1:
         _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng,

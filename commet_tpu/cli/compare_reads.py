@@ -77,7 +77,8 @@ def main(argv=None) -> int:
     qname, qentries = next(iter(parse_sets(search_file_list).items()))
     b = _load(qname, qentries)
 
-    eng = Engine(k=kmer_size, t=min_hits)
+    from commet_tpu.parallel.sharded import auto_mesh
+    eng = Engine(k=kmer_size, t=min_hits, mesh=auto_mesh())
     # pass 1: B in A (src/compare_reads.cpp:240-266)
     eng.index_and_search(a, [b], out_dir=out_path, log_dir=log_path, save=False)
     b.apply_result_as_filter()

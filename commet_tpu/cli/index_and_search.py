@@ -122,7 +122,8 @@ def main(argv=None) -> int:
         if full:
             break  # full mode only uses the first (map-ordered) set
 
-    eng = Engine(k=kmer_size, t=min_hits)
+    from commet_tpu.parallel.sharded import auto_mesh
+    eng = Engine(k=kmer_size, t=min_hits, mesh=auto_mesh())
     eng.index_and_search(index_set, query_sets, out_dir=out_path,
                          log_dir=log_path, save=not full)
 

@@ -170,3 +170,18 @@ def full_pair_step(mesh: Mesh, k: int, t: int):
         return planes, tags, tags.sum(dtype=jnp.int32)
 
     return step
+
+
+def auto_mesh():
+    """Mesh from the COMMET_TPU_DEVICES env var: an integer chip count, or
+    "all" for every visible device. Returns None (single-chip execution)
+    when unset/1. This is how the CLI tools opt into multi-chip runs."""
+    import os
+
+    spec = os.environ.get("COMMET_TPU_DEVICES", "").strip().lower()
+    if not spec or spec in ("1", "none"):
+        return None
+    n = len(jax.devices()) if spec == "all" else int(spec)
+    if n <= 1:
+        return None
+    return make_mesh(n)
