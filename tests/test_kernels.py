@@ -154,3 +154,41 @@ def test_cascade_matches_full(k, t, V):
         got, _ = kernels.search_batch(planes, jnp.asarray(qcodes[amb2]), k, t)
         tags2[amb2] = np.asarray(got)
     assert (tags2 == expected).all(), np.nonzero(tags2 != expected)
+
+
+@pytest.mark.parametrize("k,L", [(8, 40), (15, 110), (31, 128), (32, 110),
+                                 (33, 128), (36, 200)])
+def test_window_keys_matches_window_scan(k, L):
+    """The gather-free funnel-extraction key generator must agree with the
+    sequential-scan reference implementation at every complete window."""
+    if L < k:
+        pytest.skip("read shorter than k")
+    rng = np.random.default_rng(42 + k)
+    codes = rng.integers(0, 5, size=(7, L)).astype(np.int32)  # incl invalid
+    codes[0] = rng.integers(0, 4, size=L)  # one clean row
+    s = kernels.window_scan(jnp.asarray(codes), k)
+    wk = kernels.window_keys(jnp.asarray(codes), k)
+    sl = slice(k - 1, None)
+    ok_old = np.asarray(s["ok"][:, sl])
+    ok_new = np.asarray(wk["ok"])
+    assert ok_old.shape == ok_new.shape == (7, L - k + 1)
+    assert (ok_old == ok_new).all()
+    for nm in ("fa_lo", "fa_hi", "fb_lo", "fb_hi",
+               "ra_lo", "ra_hi", "rb_lo", "rb_hi"):
+        old = np.asarray(s[nm][:, sl])
+        new = np.asarray(wk[nm])
+        assert (old[ok_old] == new[ok_old]).all(), nm
+    # wmax trimming is a pure prefix
+    wk2 = kernels.window_keys(jnp.asarray(codes), k, wmax=5)
+    assert (np.asarray(wk2["ok"]) == ok_new[:, :5]).all()
+
+
+@pytest.mark.parametrize("t", [1, 2, 3, 5, 9])
+def test_greedy_fast_matches_scan(t):
+    rng = np.random.default_rng(t)
+    k = 13
+    mem = rng.random((40, 97)) < 0.2
+    a = np.asarray(kernels._greedy_count(jnp.asarray(mem), jnp.asarray(mem),
+                                         k, t))
+    b = np.asarray(kernels._greedy_count_fast(jnp.asarray(mem), k, t))
+    assert (a == b).all()
