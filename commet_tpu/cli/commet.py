@@ -240,6 +240,8 @@ def output_vectors(read_matrix, bv_matrix, names, out_dir):
 def main(argv=None) -> int:
     from commet_tpu.config import enable_compile_cache
     enable_compile_cache()
+    from commet_tpu.parallel.distributed import init_distributed
+    init_distributed()  # no-op unless COMMET_TPU_COORDINATOR/_DISTRIBUTED set
     parser = argparse.ArgumentParser(
         description="Computes the filtering and the full N x N intersections "
                     "of read sets (TPU-native)")

@@ -47,6 +47,8 @@ Options:
 def main(argv=None) -> int:
     from commet_tpu.config import enable_compile_cache
     enable_compile_cache()
+    from commet_tpu.parallel.distributed import init_distributed
+    init_distributed()  # no-op unless COMMET_TPU_COORDINATOR/_DISTRIBUTED set
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print(USAGE, file=sys.stderr)
