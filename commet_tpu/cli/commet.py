@@ -260,6 +260,10 @@ def main(argv=None) -> int:
     parser.add_argument("-n", type=int, default=-1)
     parser.add_argument("-e", type=float, default=0)
     parser.add_argument("-m", type=int, default=-1)
+    parser.add_argument("-b", "--binaries_directory", type=str,
+                        dest="binary_directory", default=None,
+                        help="accepted for reference drop-in compatibility; "
+                             "unused (no external binaries)")
     parser.add_argument("--devices", type=str, default=None,
                         help="number of TPU chips to use (or 'all'); planes "
                              "replicate and the read axis shards when they "
@@ -302,14 +306,27 @@ def main(argv=None) -> int:
     from commet_tpu.parallel.sharded import auto_mesh
     eng = Engine(k=k, t=t, batch=args.batch, mesh=auto_mesh())
     end = 1 if args.one_vs_all else len(read_matrix) - 1
+    # multi-host (COMMET_TPU_COORDINATOR/_DISTRIBUTED): each process owns a
+    # stride of the comparison rounds over the shared filesystem — the
+    # TPU-pod equivalent of the reference's SGE job partitioning
+    # (Commet.py:204-236); analysis is deferred exactly like --sge mode.
+    import jax
+    nprocs, rank = jax.process_count(), jax.process_index()
     if args.jobs > 1:
         _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng,
                        args.jobs)
     else:
         for ref_id in range(end):
+            if ref_id % nprocs != rank:
+                continue
             compare_all_against(read_matrix, bv_matrix, names, out_dir,
                                 ref_id, eng)
 
+    if nprocs > 1:
+        print("multi-host run: rank %d/%d finished its rounds; run "
+              "commet_analysis after all ranks complete to aggregate "
+              "matrices" % (rank, nprocs))
+        return 0
     if args.one_vs_all:
         output_vectors(read_matrix, bv_matrix, names, out_dir)
     else:

@@ -37,8 +37,7 @@ def main(argv=None) -> int:
     log_path = "."
     out_path = "."
     i = 0
-    if argv and argv[-1] in ("-i", "-s", "-l", "-o", "-k",
-                             "-t", "-n", "-m", "-e", "-c"):
+    if argv and argv[-1] in ('-i', '-s', '-l', '-o', '-k', '-t'):
         print(f"Error, flag {argv[-1]} needs an argument",
               file=sys.stderr)
         sys.exit(1)

@@ -62,8 +62,7 @@ def main(argv=None) -> int:
     full = False
 
     i = 0
-    if argv and argv[-1] in ("-i", "-s", "-l", "-o", "-k",
-                             "-t", "-n", "-m", "-e", "-c"):
+    if argv and argv[-1] in ('-i', '-s', '-l', '-o', '-k', '-t'):
         print(f"Error, flag {argv[-1]} needs an argument",
               file=sys.stderr)
         sys.exit(1)

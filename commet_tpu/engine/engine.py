@@ -48,6 +48,16 @@ def _pad_length(lmax: int, k: int) -> int:
     return -(-lmax // LENGTH_BUCKET) * LENGTH_BUCKET
 
 
+def _bucket_size(n: int, batch: int, mesh=None) -> int:
+    """Power-of-two batch bucket (>= 2048, <= batch), rounded up to a
+    multiple of the mesh size so DP shardings stay even."""
+    size = min(batch, max(2048, 1 << (max(n, 1) - 1).bit_length()))
+    if mesh is not None:
+        nd = mesh.devices.size
+        size = -(-size // nd) * nd
+    return size
+
+
 @dataclass
 class EncodedSet:
     """Device-friendly view of a ReadSet: flat 2-bit codes + ragged index."""
@@ -189,10 +199,7 @@ class Engine:
             lpad = _pad_length(int(lengths.max(initial=1)), self.k)
         size = self.batch
         if bucket:
-            size = min(self.batch, max(2048, 1 << (len(idx) - 1).bit_length()))
-            if self.mesh is not None:
-                n = self.mesh.devices.size
-                size = -(-size // n) * n
+            size = _bucket_size(len(idx), self.batch, self.mesh)
         for start in range(0, len(idx), size):
             chunk = idx[start : start + size]
             codes = enc.gather_batch(chunk, lpad)
@@ -210,10 +217,7 @@ class Engine:
             return
         size = self.batch
         if bucket:
-            size = min(self.batch, max(2048, 1 << (len(idx) - 1).bit_length()))
-            if self.mesh is not None:
-                n = self.mesh.devices.size
-                size = -(-size // n) * n
+            size = _bucket_size(len(idx), self.batch, self.mesh)
         for start in range(0, len(idx), size):
             chunk = idx[start : start + size]
             c2, vd, ln, clean = enc.gather_packed(chunk, lpad, size)

@@ -18,17 +18,27 @@ _SO = os.path.join(_DIR, "libcommet_io.so")
 _lib = None
 
 
+def _make():
+    try:
+        subprocess.run(["make", "-C", _DIR, "clean", "all"], check=True,
+                       capture_output=True)
+    except Exception as exc:  # pragma: no cover
+        raise OSError(f"cannot build native io library: {exc}")
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True)
-        except Exception as exc:  # pragma: no cover
-            raise OSError(f"cannot build native io library: {exc}")
+        _make()
     lib = ctypes.CDLL(_SO)
+    if not hasattr(lib, "cio_gather_packed"):
+        # stale build from an older checkout: rebuild once
+        del lib
+        os.remove(_SO)
+        _make()
+        lib = ctypes.CDLL(_SO)
     lib.cio_parse.restype = ctypes.c_void_p
     lib.cio_parse.argtypes = [ctypes.c_char_p]
     for name, res in (("cio_n_reads", ctypes.c_int64),
@@ -72,7 +82,7 @@ def available() -> bool:
     try:
         _load()
         return True
-    except OSError:
+    except (OSError, AttributeError):  # unbuildable / stale symbols
         return False
 
 

@@ -18,11 +18,14 @@ On TPU pods the three variables are optional (jax.distributed can
 auto-detect from the TPU metadata); setting COMMET_TPU_DISTRIBUTED=1 alone
 requests auto-detected initialization.
 
-Work placement: batches are assembled by the host that owns the read files
-(data-parallel read-axis sharding assigns each host its row block via
-jax.make_array_from_process_local_data); per-pair matrix counts are plain
-device reductions, so no host ever exchanges .bv state out of band — the
-result files are written once by process 0.
+Work placement mirrors the reference's SGE partitioning: the commet driver
+strides its comparison rounds across processes (rank r runs rounds
+r, r+P, ...) over the shared filesystem, and — exactly like the
+reference's --sge mode — defers matrix aggregation to a post-hoc
+commet_analysis run once every rank has finished. Within each process,
+COMMET_TPU_DEVICES selects a mesh over that host's local chips
+(sharded.auto_mesh), so device shardings never reference non-addressable
+devices.
 """
 
 from __future__ import annotations

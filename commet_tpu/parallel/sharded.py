@@ -181,7 +181,8 @@ def auto_mesh():
     spec = os.environ.get("COMMET_TPU_DEVICES", "").strip().lower()
     if not spec or spec in ("1", "none"):
         return None
-    n = len(jax.devices()) if spec == "all" else int(spec)
+    local = jax.local_devices()  # per-process mesh: shardings stay
+    n = len(local) if spec == "all" else int(spec)  # host-addressable
     if n <= 1:
         return None
-    return make_mesh(n)
+    return Mesh(np.array(local[:n]), ("d",))

@@ -31,12 +31,16 @@ def pytest_collection_modifyitems(config, items):
 
     if os.path.isdir(REFERENCE_DIR):
         return
-    needs_ref = (
+    needs_ref_files = (
         "test_engine_golden", "test_filter", "test_native",
-        "test_one_vs_all", "test_pipeline_golden", "test_sharded",
+        "test_one_vs_all", "test_pipeline_golden",
         "test_three_pass", "test_tools_golden",
     )
+    # test_sharded is mostly synthetic; only these two read the dataset
+    needs_ref_names = ("test_sharded_engine_matches_golden",
+                       "test_engine_dp_mode_counters")
     skip = pytest.mark.skip(reason="/root/reference dataset not available")
     for item in items:
-        if any(n in str(item.fspath) for n in needs_ref):
+        if (any(n in str(item.fspath) for n in needs_ref_files)
+                or any(n in item.name for n in needs_ref_names)):
             item.add_marker(skip)

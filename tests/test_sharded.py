@@ -112,14 +112,12 @@ def test_dp_mode_matches_single(mesh, k):
     assert (tags == np.asarray(tag1)).all()
 
 
-def test_engine_dp_mode_counters(mesh):
+def test_engine_dp_mode_counters(mesh, monkeypatch):
     """Engine in DP mesh mode must reproduce single-chip counters."""
-    import os
-
     from commet_tpu.engine.engine import Engine
     from commet_tpu.io.reads import ReadSet
 
-    os.chdir("/root/reference")
+    monkeypatch.chdir("/root/reference")
 
     def mkset(name, f):
         rs = ReadSet(name)
