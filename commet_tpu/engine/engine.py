@@ -379,7 +379,9 @@ class Engine:
         per-read fwd-then-rc early exit (search_reads.h:64-83)."""
         on_cpu = jax.devices()[0].platform == "cpu"
         lengths = enc.read_lengths(idx) if len(idx) else np.zeros(1)
-        lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+        lmax = int(lengths.max(initial=1))
+        lpad = _pad_length(lmax, self.k)
+        wmax = max(1, lmax - self.k + 1)
         tags = np.zeros(len(idx), dtype=bool)
 
         def run_strand(rows, strand, out_rows):
@@ -392,13 +394,13 @@ class Engine:
                                                      bucket=True):
                     got = plain(planes,
                                 self._dev(np.asarray(codes, np.int32)),
-                                self.k, self.t)
+                                self.k, self.t, wmax)
                     tags[out_rows[sl]] |= np.asarray(got)[: sl.stop - sl.start]
             else:
                 for sl, c2, vd, _ln, _cl in self._batched_packed(
                         enc, rows, lpad, bucket=True):
                     got = packed(planes, self._dev(c2), self._dev(vd),
-                                 lpad, self.k, self.t)
+                                 lpad, self.k, self.t, wmax)
                     tags[out_rows[sl]] |= np.asarray(got)[: sl.stop - sl.start]
 
         run_strand(idx, "fwd", np.arange(len(idx)))
