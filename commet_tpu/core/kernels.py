@@ -451,16 +451,21 @@ def _test_plane(planes, plane: int, words, masks, k: int):
     return (got & masks) != 0
 
 
-def _strand_cascade(planes, wk, p: str, k: int, t: int, V: int):
+def _strand_cascade(planes, wk, p: str, k: int, t: int, V: int, memA=None):
     """One strand's cascade over pre-sliced window keys: returns
     (confirmed_count >= t, upper_bound < t), i.e. (definitely tagged,
-    definitely untagged) boolean vectors."""
+    definitely untagged) boolean vectors.
+
+    memA: optional precomputed plane-A membership [B, W] bool (already
+    ok-masked) — supplied by the sorted-join streaming path
+    (core/stream.py) to skip the per-window plane gathers."""
     ok = wk["ok"]
     a_lo, a_hi = wk[p + "a_lo"], wk[p + "a_hi"]
     b_lo, b_hi = wk[p + "b_lo"], wk[p + "b_hi"]
 
-    wA, mA = _plane_addr(a_lo, a_hi, k)
-    memA = _test_plane(planes, 0, wA, mA, k) & ok
+    if memA is None:
+        wA, mA = _plane_addr(a_lo, a_hi, k)
+        memA = _test_plane(planes, 0, wA, mA, k) & ok
 
     # select the V leftmost + V rightmost A-hit positions. When a row has
     # <= 2V hits the selection covers ALL of them (rank_l + rank_r =

@@ -160,6 +160,17 @@ class Engine:
             cascade = os.environ.get("COMMET_TPU_CASCADE", "1") != "0"
         self.cascade = cascade
         self._verify_v = 4  # per-partition, set from the index fill estimate
+        # sorted-set join streaming (core/stream.py): plane-A membership via
+        # sort + sequential index streaming instead of random gathers.
+        # Single-chip TPU only (the DP/plane mesh paths shard the gather
+        # kernels); k <= 32 (32-bit key sort domain).
+        self.stream = (os.environ.get("COMMET_TPU_STREAM", "1") != "0"
+                       and mesh is None and k <= 32
+                       and jax.devices()[0].platform != "cpu")
+        self.stream_batch = int(os.environ.get("COMMET_TPU_STREAM_BATCH",
+                                               "65536"))
+        self._ik2d = None
+        self._ik_mi = None
         # multi-chip modes (commet_tpu/parallel/sharded.py):
         #   dp    - planes replicated, batch sharded: linear reads/s scaling,
         #           reuses the single-chip cascade kernels via GSPMD
@@ -326,10 +337,16 @@ class Engine:
                 planes = self._alloc_planes()
             lengths = enc.read_lengths(idx)
             lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+            collect = [] if self.stream else None
             for _sl, c2, vd, _ln, _cl in self._batched_packed(enc, idx, lpad):
-                planes = kernels.build_chunk_packed(
-                    planes, self._dev(c2, "rep"), self._dev(vd, "rep"),
-                    lpad, self.k)
+                c2d, vdd = self._dev(c2, "rep"), self._dev(vd, "rep")
+                if collect is not None:
+                    from commet_tpu.core import stream as _stream
+                    collect.append(_stream.chunk_index_keys(
+                        c2d, vdd, lpad, self.k))
+                planes = kernels.build_chunk_packed(planes, c2d, vdd,
+                                                    lpad, self.k)
+            self._finish_index_keys(collect)
             return planes
         native = self._native()
         # host build + upload only pays off when the "upload" is a local
@@ -352,6 +369,22 @@ class Engine:
             planes = kernels.build_chunk(
                 planes, self._dev(np.asarray(codes, np.int32), "rep"), self.k)
         return planes
+
+    def _finish_index_keys(self, collect):
+        """Sort the per-batch keya chunks into the partition's sorted index
+        set (stream probe side input); resets it when streaming is off."""
+        if collect is None or not self.stream:
+            self._ik2d = self._ik_mi = None
+            return
+        from commet_tpu.core import stream as _stream
+        keys = [c[0] for c in collect]
+        flags = [c[1] for c in collect]
+        counts = [int(c[2]) for c in collect]
+        if not keys:
+            self._ik2d = self._ik_mi = None
+            return
+        self._ik2d, self._ik_mi = _stream.finalize_index_keys(
+            keys, flags, counts)
 
     def search_set(self, planes, enc: EncodedSet, idx: np.ndarray):
         """Classify reads ``idx``; returns bool tags [len(idx)].
@@ -427,12 +460,42 @@ class Engine:
         if self._verify_v < 16:
             rounds.append(16)
         amb = np.arange(len(idx))
+        first_round = True
         for v in rounds:
             if not len(amb):
                 return tags
             rows = idx[amb]
             pending = []  # (slice, device verdict) — sync after dispatching
-            if on_cpu:
+            use_stream = (first_round and self.stream
+                          and self._ik2d is not None and not on_cpu)
+            first_round = False
+            if use_stream:
+                from commet_tpu.core import stream as _stream
+                size = max(_bucket_size(len(rows), self.stream_batch),
+                           2048)
+                mi_host = None
+                for start in range(0, len(rows), size):
+                    chunk_rows = rows[start : start + size]
+                    c2, vd, ln, clean = enc.gather_packed(
+                        chunk_rows, lpad, size)
+                    sl = slice(start, start + len(chunk_rows))
+                    if not clean:
+                        # rare dirty batch: gather cascade decides it
+                        verdict = kernels.probe_cascade2_packed(
+                            planes, self._dev(c2), self._dev(vd), lpad,
+                            self.k, self.t, v, wmax)
+                        pending.append((sl, verdict))
+                        continue
+                    if mi_host is None:
+                        mi_host = int(self._ik_mi)
+                    jchunk = _stream.pick_chunk(
+                        size * 2 * wmax, mi_host)
+                    verdict = _stream.probe_cascade2_stream(
+                        planes, self._ik2d, self._ik_mi, self._dev(c2),
+                        self._dev(ln), lpad, self.k, self.t, v, wmax,
+                        jchunk)
+                    pending.append((sl, verdict))
+            elif on_cpu:
                 for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
                                                      bucket=True):
                     pending.append((sl, kernels.probe_cascade2(
