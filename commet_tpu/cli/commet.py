@@ -143,10 +143,33 @@ def _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng, jobs):
     """Execute the pair-comparison rounds as a dependency DAG (the
     reference's SGE hold_jid chains, Commet.py:186-240, run in-process).
     Steps within a round chain strictly; rounds for different ref sets only
-    share the filter prerequisites, mirroring the reference ordering."""
+    share the filter prerequisites, mirroring the reference ordering.
+
+    Resume: each completed job drops a ``.job_<name>.done`` marker next to
+    its outputs; on re-run, jobs whose marker AND outputs all exist are
+    skipped (the reference's implicit file-based restartability,
+    Commet.py precomputed-bv re-run semantics, made explicit). Delete a
+    pair's outputs (or markers) to recompute just that pair."""
     from commet_tpu.engine.scheduler import JobGraph
 
     g = JobGraph(workers=jobs)
+
+    def with_marker(fn, name):
+        marker = os.path.join(out_dir, f".job_{name}.done")
+
+        def run():
+            fn()
+            with open(marker, "w") as f:
+                f.write("done\n")
+        return run
+
+    def done_when(name, outputs):
+        marker = os.path.join(out_dir, f".job_{name}.done")
+
+        def check():
+            return (os.path.exists(marker)
+                    and all(os.path.exists(p) for p in outputs))
+        return check
 
     def make_round(ref_id):
         def step0():
@@ -156,7 +179,16 @@ def _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng, jobs):
                        for j in range(ref_id + 1, len(names))]
             eng.index_and_search(index_set, queries, out_dir=out_dir,
                                  log_dir=out_dir)
-        root = g.add(f"all_in_{ref_id}", step0, device=True)
+
+        name0 = f"all_in_{ref_id}"
+        outs0 = [out_dir + os.path.basename(f) + "_in_"
+                 + os.path.basename(names[ref_id]) + ".bv"
+                 for j in range(ref_id + 1, len(names))
+                 for f in read_matrix[j]]
+        outs0 += [out_dir + f"{names[j]}_in_{names[ref_id]}.log"
+                  for j in range(ref_id + 1, len(names))]
+        root = g.add(name0, with_marker(step0, name0), device=True,
+                     done_check=done_when(name0, outs0))
         for j in range(ref_id + 1, len(names)):
             def step_a(j=j):
                 x_bvs = [out_dir + os.path.basename(f) + "_in_"
@@ -180,8 +212,20 @@ def _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng, jobs):
 
             # pairs fan out independently after step 0, like the reference's
             # per-pair hold_jid chains (Commet.py:224,236)
-            a = g.add(f"{ref_id}_in_{j}", step_a, deps=[root], device=True)
-            g.add(f"{j}_in_{ref_id}", step_b, deps=[a], device=True)
+            name_a = f"{ref_id}_in_{j}"
+            outs_a = [out_dir + os.path.basename(f) + "_in_"
+                      + os.path.basename(names[j]) + ".bv"
+                      for f in read_matrix[ref_id]]
+            outs_a += [out_dir + f"{names[ref_id]}_in_{names[j]}.log"]
+            a = g.add(name_a, with_marker(step_a, name_a), deps=[root],
+                      device=True, done_check=done_when(name_a, outs_a))
+            name_b = f"{j}_in_{ref_id}"
+            outs_b = [out_dir + os.path.basename(f) + "_in_"
+                      + os.path.basename(names[ref_id]) + ".bv"
+                      for f in read_matrix[j]]
+            outs_b += [out_dir + f"{names[j]}_in_{names[ref_id]}.log"]
+            g.add(name_b, with_marker(step_b, name_b), deps=[a],
+                  device=True, done_check=done_when(name_b, outs_b))
 
     for ref_id in range(end):
         make_round(ref_id)

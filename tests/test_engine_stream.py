@@ -1,0 +1,92 @@
+"""Engine-level integration tests for the sorted-join stream probe:
+COMMET_TPU_STREAM=force runs the real engine flow (key collection during
+build, finalize, streamed cascade, fallback rounds) on CPU in Pallas
+interpret mode, and a poisoned stream module must fall back to the gather
+cascade instead of crashing (VERDICT r2 regression guard)."""
+
+import numpy as np
+import pytest
+
+import commet_tpu.engine.engine as engine_mod
+from commet_tpu.engine.engine import Engine
+from commet_tpu.io.reads import ReadSet
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+K = 15
+T = 2
+
+
+def write_fasta(path, rng, n, length, donors=None):
+    """Random fasta; when ``donors`` is given, implant a 2k fragment from a
+    donor read into every other read (tagged at t=2)."""
+    seqs = [bytes(rng.choice(BASES, size=length)) for _ in range(n)]
+    if donors is not None:
+        for i in range(0, n, 2):
+            d = donors[int(rng.integers(len(donors)))]
+            start = int(rng.integers(0, len(d) - 2 * K + 1))
+            frag = d[start : start + 2 * K]
+            pos = int(rng.integers(0, length - 2 * K + 1))
+            seqs[i] = seqs[i][:pos] + frag + seqs[i][pos + 2 * K :]
+    with open(path, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">r%d\n%s\n" % (i, s))
+    return seqs
+
+
+def make_sets(tmp_path, rng):
+    idx_fa = str(tmp_path / "idx.fa")
+    qry_fa = str(tmp_path / "qry.fa")
+    donors = write_fasta(idx_fa, rng, 120, 90)
+    write_fasta(qry_fa, rng, 160, 90, donors=donors)
+    rs_i = ReadSet("I")
+    rs_i.add_file(idx_fa)
+    rs_q = ReadSet("Q")
+    rs_q.add_file(qry_fa)
+    return rs_i, rs_q
+
+
+def fresh_selfcheck(monkeypatch):
+    monkeypatch.setattr(engine_mod, "_STREAM_SELFCHECK", {})
+
+
+def test_engine_forced_stream_matches_gather(tmp_path, monkeypatch):
+    rng = np.random.default_rng(7)
+    rs_i, rs_q = make_sets(tmp_path, rng)
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    eng = Engine(k=K, t=T, batch=2048)
+    assert eng.stream, "forced stream engine must pass the self-check on CPU"
+    got = eng.index_and_search(rs_i, [rs_q], save=False)
+
+    rs_i2, rs_q2 = make_sets(tmp_path, np.random.default_rng(7))
+    monkeypatch.setenv("COMMET_TPU_STREAM", "0")
+    eng0 = Engine(k=K, t=T, batch=2048)
+    assert not eng0.stream
+    want = eng0.index_and_search(rs_i2, [rs_q2], save=False)
+
+    assert got["Q"]["shared"] == want["Q"]["shared"]
+    assert got["Q"]["shared"] > 0  # implanted fragments must be found
+    got_bv = np.asarray(rs_q.result_bvs[0].data)
+    want_bv = np.asarray(rs_q2.result_bvs[0].data)
+    np.testing.assert_array_equal(got_bv, want_bv)
+
+
+def test_poisoned_stream_falls_back(tmp_path, monkeypatch):
+    """A stream module that raises must disable itself via the self-check;
+    the engine still produces correct results through the gather cascade."""
+    from commet_tpu.core import stream as stream_mod
+
+    def boom(*a, **k):
+        raise NameError("name 'wmin' is not defined")  # the r2 failure mode
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setattr(stream_mod, "join_membership", boom)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+
+    rng = np.random.default_rng(11)
+    rs_i, rs_q = make_sets(tmp_path, rng)
+    eng = Engine(k=K, t=T, batch=2048)
+    assert not eng.stream, "self-check must catch the poisoned kernel"
+    got = eng.index_and_search(rs_i, [rs_q], save=False)
+    assert got["Q"]["shared"] > 0
