@@ -140,27 +140,28 @@ def main():
     from commet_tpu.core import stream
 
     def build_all():
-        """Planes + the sorted keya index set (the stream probe's side
-        input) from the same uploaded batches."""
+        """Planes + the sorted (keya, keyb) index planes (the stream
+        probe's side input) from the same uploaded batches."""
         planes = kernels.alloc_planes(K)
-        kcs, fls, cnts = [], [], []
+        kcs, kbs, fls, cnts = [], [], [], []
         for s in range(0, N_INDEX, BATCH):
             c2, v = upload(index_codes[s : s + BATCH])
             planes = kernels.build_chunk_packed(planes, c2, v, lpad, K)
-            kk, ff, cc = stream.chunk_index_keys(c2, v, lpad, K)
+            kk, kb, ff, cc = stream.chunk_index_keys(c2, v, lpad, K)
             kcs.append(kk)
+            kbs.append(kb)
             fls.append(ff)
             cnts.append(cc)
-        ik2d, mi = stream.finalize_index_keys(
-            kcs, fls, [int(c) for c in cnts])
-        return planes, ik2d, mi
+        ika, ikb, mi = stream.finalize_index_keys(
+            kcs, kbs, fls, [int(c) for c in cnts])
+        return planes, ika, ikb, mi
 
     build_time = 9e9
     for _ in range(2):  # best of 2: the tunneled link is noisy
         t0 = time.time()
-        planes, ik2d, mi = build_all()
+        planes, ika, ikb, mi = build_all()
         np.asarray(planes[:1])  # value fetch = honest barrier
-        np.asarray(ik2d[:1])
+        np.asarray(ika[:1])
         build_time = min(build_time, time.time() - t0)
     log(f"build: {N_INDEX} reads in {build_time:.2f}s (best of 2, "
         f"incl sorted index keys, mi={int(mi)})")
@@ -184,8 +185,8 @@ def main():
     def stream_one(chunk_u8):
         c2, lens = pack_rows(chunk_u8)
         return stream.probe_cascade2_stream(
-            planes, ik2d, mi, jnp.asarray(c2), jnp.asarray(lens), lpad,
-            K, T, V, WMAX, jchunk)
+            ika, ikb, mi, jnp.asarray(c2), jnp.asarray(lens), lpad,
+            K, T, WMAX, jchunk)
 
     def run_search():
         tags = np.zeros(N_QUERY, dtype=bool)
@@ -254,6 +255,10 @@ def main():
                                 query[:, :READ_LEN], n_tagged)
     except Exception as exc:  # never fail the headline metric on this
         log(f"pair benchmark skipped: {exc}")
+    try:
+        pair_extra.update(bench_k33(rng))
+    except Exception as exc:
+        log(f"k=33 benchmark skipped: {exc}")
     base_search = pair_extra.get("ref_search_reads_per_sec",
                                  BASELINE_READS_PER_SEC)
     base_build = pair_extra.get("ref_build_reads_per_sec",
@@ -279,6 +284,124 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def bench_k33(rng):
+    """The reference's DEFAULT configuration (k=33, src/index_and_search.cpp:71):
+    4 GiB of membership planes in HBM, 64-bit (hi, lo) window keys, gather
+    cascade probe (the stream join is a k<=32 path by design - 32-bit sort
+    lanes). Smaller workload than the k=32 headline; same live-calibrated
+    protocol."""
+    import jax.numpy as jnp
+
+    from commet_tpu.core import kernels
+
+    K33, N_IDX, N_QRY = 33, 20_000, 32_768
+    lpad = -(-READ_LEN // 32) * 32
+    idx = rng.integers(0, 4, size=(N_IDX, READ_LEN), dtype=np.int8)
+    qry = rng.integers(0, 4, size=(N_QRY, READ_LEN), dtype=np.int8)
+    half, frag = N_QRY // 2, 2 * K33
+    donors = rng.integers(0, N_IDX, size=half)
+    ds = rng.integers(0, READ_LEN - frag + 1, size=half)
+    qs = rng.integers(0, READ_LEN - frag + 1, size=half)
+    rows = np.arange(half)[:, None]
+    qry[rows, qs[:, None] + np.arange(frag)] = \
+        idx[donors[:, None], ds[:, None] + np.arange(frag)]
+    idx = np.pad(idx, ((0, 0), (0, lpad - READ_LEN)), constant_values=4)
+    qry = np.pad(qry, ((0, 0), (0, lpad - READ_LEN)), constant_values=4)
+
+    def upload(arr):
+        c2, v = kernels.pack_codes_np(arr.astype(np.uint8))
+        return jnp.asarray(c2), jnp.asarray(v)
+
+    wmax = READ_LEN - K33 + 1
+    planes = kernels.alloc_planes(K33)
+    for s in range(0, N_IDX, BATCH):
+        c2, v = upload(idx[s : s + BATCH])
+        planes = kernels.build_chunk_packed(planes, c2, v, lpad, K33)
+    np.asarray(planes[:1])
+
+    def search_once():
+        tags = np.zeros(N_QRY, dtype=bool)
+        outs = []
+        for s in range(0, N_QRY, BATCH):
+            c2, v = upload(qry[s : s + BATCH])
+            outs.append(kernels.probe_cascade2_packed(
+                planes, c2, v, lpad, K33, T, 4, wmax))
+        v8 = np.concatenate([np.asarray(o) for o in outs])
+        tags[v8 == kernels.VERDICT_TAGGED] = True
+        amb = np.nonzero(v8 == kernels.VERDICT_AMBIG)[0]
+        rem = amb
+        for kern in (kernels.search_batch_fwd_packed,
+                     kernels.search_batch_rc_packed):
+            if not len(rem):
+                break
+            size = min(BATCH, max(2048, 1 << (len(rem) - 1).bit_length()))
+            for s in range(0, len(rem), size):
+                r = rem[s : s + size]
+                chunk = qry[r]
+                if len(chunk) < size:
+                    chunk = np.pad(chunk, ((0, size - len(chunk)), (0, 0)),
+                                   constant_values=4)
+                c2, v = upload(chunk)
+                got = kern(planes, c2, v, lpad, K33, T)
+                tags[r] |= np.asarray(got)[: len(r)]
+            rem = rem[~tags[rem]]
+        return tags
+
+    tags = search_once()  # warm/compile
+    dt = 9e9
+    for _ in range(2):
+        t0 = time.time()
+        tags = search_once()
+        dt = min(dt, time.time() - t0)
+    rate = N_QRY / dt
+    out = {"k33_search_reads_per_sec": round(rate, 1),
+           "k33_search_time_s": round(dt, 3),
+           "k33_tagged": int(tags.sum())}
+    log(f"k=33: {N_QRY} reads in {dt:.2f}s = {rate:.0f} reads/s, "
+        f"tagged {int(tags.sum())}")
+
+    # live reference at k=33 on the same files
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+    ref_bin = "/tmp/refbuild/bin/index_and_search"
+    if os.path.exists(ref_bin):
+        workdir = tempfile.mkdtemp(prefix="commet_bench33_")
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+        def write_fasta(path, codes):
+            seqs = lut[codes[:, :READ_LEN].astype(np.int64)]
+            with open(path, "wb") as f:
+                for i in range(len(seqs)):
+                    f.write(b">r%d\n" % i + seqs[i].tobytes() + b"\n")
+
+        ifa = os.path.join(workdir, "i.fa")
+        qfa = os.path.join(workdir, "q.fa")
+        write_fasta(ifa, idx)
+        write_fasta(qfa, qry)
+        with open(os.path.join(workdir, "i.txt"), "w") as f:
+            f.write(f"I: {ifa}\n")
+        with open(os.path.join(workdir, "q.txt"), "w") as f:
+            f.write(f"Q: {qfa}\n")
+        refout = os.path.join(workdir, "refout")
+        subprocess.run(
+            [ref_bin, "-i", os.path.join(workdir, "i.txt"),
+             "-s", os.path.join(workdir, "q.txt"), "-k", "33", "-t", str(T),
+             "-o", refout, "-l", refout], capture_output=True, check=True)
+        with open(os.path.join(refout, "Q_in_I.log")) as f:
+            lines = f.read().strip().splitlines()
+        ref_shared = int(lines[-1].split("shared")[1].strip(" []"))
+        assert ref_shared == int(tags.sum()), (ref_shared, int(tags.sum()))
+        ref_search_s = float(lines[1].split(":")[1].strip(" s"))
+        out["k33_ref_search_reads_per_sec"] = round(N_QRY / ref_search_s, 1)
+        out["k33_vs_baseline"] = round(rate / (N_QRY / ref_search_s), 3)
+        log(f"k=33 reference: search {ref_search_s:.2f}s, shared "
+            f"{ref_shared} (agrees); ours {out['k33_vs_baseline']}x")
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 def bench_pair(index_codes, query_codes, expect_shared):

@@ -336,12 +336,25 @@ def main(argv=None) -> int:
         l = k * t
     print(f"k={k} t={t} l={l}")
 
+    # multi-host (COMMET_TPU_COORDINATOR/_DISTRIBUTED): each process owns a
+    # stride of the comparison rounds over the shared filesystem — the
+    # TPU-pod equivalent of the reference's SGE job partitioning
+    # (Commet.py:204-236); analysis is deferred exactly like --sge mode.
+    import jax
+    nprocs, rank = jax.process_count(), jax.process_index()
+
     read_matrix = driver_read_files(args.input_file)
     names = driver_set_names(args.input_file)
     bv_matrix = driver_read_bvs(args.input_file)
     if bv_matrix is None:
-        print("Reads were not filtered, we filter them.")
-        filter_all_reads(read_matrix, out_dir, l, args.n, args.e, args.m)
+        # only rank 0 filters (all ranks share the filesystem; concurrent
+        # writers of the same .bv would race), others wait at a barrier
+        if rank == 0:
+            print("Reads were not filtered, we filter them.")
+            filter_all_reads(read_matrix, out_dir, l, args.n, args.e, args.m)
+        if nprocs > 1:
+            from jax.experimental.multihost_utils import sync_global_devices
+            sync_global_devices("commet_filter_done")
         bv_matrix = [[out_dir + os.path.basename(f) + ".bv" for f in line]
                      for line in read_matrix]
 
@@ -350,12 +363,6 @@ def main(argv=None) -> int:
     from commet_tpu.parallel.sharded import auto_mesh
     eng = Engine(k=k, t=t, batch=args.batch, mesh=auto_mesh())
     end = 1 if args.one_vs_all else len(read_matrix) - 1
-    # multi-host (COMMET_TPU_COORDINATOR/_DISTRIBUTED): each process owns a
-    # stride of the comparison rounds over the shared filesystem — the
-    # TPU-pod equivalent of the reference's SGE job partitioning
-    # (Commet.py:204-236); analysis is deferred exactly like --sge mode.
-    import jax
-    nprocs, rank = jax.process_count(), jax.process_index()
     if args.jobs > 1:
         _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng,
                        args.jobs)

@@ -5,22 +5,34 @@ Why
 ---
 The reference probes its bit-planes with one random byte load per k-mer per
 plane; on TPU that lowers to gather descriptors and hits the measured
-~45-65M descriptors/s wall (BENCH_NOTES.md). This module reformulates plane
+~65M descriptors/s wall (BENCH_NOTES.md). This module reformulates
 membership as a *merge join of two sorted key sets*:
 
-  - the index side is the sorted multiset of projection-key values fed into
-    a plane (exactly the set of bits the reference's plane would contain --
-    the reference maps each key injectively to one bit, so sorted-set
-    membership == plane-bit membership, bit for bit);
-  - the query side is sorted once per batch (XLA's TPU sort: ~5 ms/M keys),
+  - the index side is the sorted multiset of (keya, keyb) pairs fed into
+    the planes, sorted by keya. Because (keya, keyb) IS the exact 2-bit
+    k-mer code (include/hash_key.h:65-91), a pair-equality match is exact
+    k-mer membership, which implies membership in all four reference
+    planes (every plane was fed from this pair);
+  - the query side is sorted once per batch (XLA TPU sort: ~5 ms/M keys),
     then a Pallas kernel streams aligned windows of the sorted index past
     each query chunk with sequential DMA (full HBM bandwidth, zero gather
-    descriptors) and decides membership by vectorized equality compares.
+    descriptors). The kernel is *banded*: both sides are sorted, so each
+    128-entry index row only overlaps a narrow run of 128-query groups;
+    non-overlapping (row, group) blocks are skipped with scalar
+    predication, cutting the compare volume ~8x.
 
-Soundness: the kernel returns 0/1 only when the fetched index window
-provably brackets the query value (coverage test); otherwise it returns the
-sentinel 2 and the caller falls back to an exact path. All verdicts are
-exact, so results stay bit-identical to the reference probe.
+Per (window, strand) key the kernel returns one of four verdicts:
+  0 NONMEM : keya provably absent from the index (window brackets it)
+  1 CAND   : keya present, exact pair not seen in-window -- a potential
+             cross-k-mer Bloom false positive (all 4 planes may still hit)
+  2 CONF   : exact (keya, keyb) match -- all four planes hit, guaranteed
+  3 RESID  : the streamed window could not bracket the key
+
+Soundness: CONF implies reference-plane membership; NONMEM implies
+non-membership; CAND/RESID windows are counted only in the upper greedy
+bound. Reads whose tag decision depends on CAND/RESID windows come out
+AMBIG and fall back to the exact gather probe, so final tags stay
+bit-identical to the reference.
 """
 
 from __future__ import annotations
@@ -34,7 +46,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SENTINEL = np.uint32(0xFFFFFFFF)
-RESIDUAL = 2  # join verdict: window did not bracket the query -> fall back
+NONMEM = 0
+CAND = 1
+CONF = 2
+RESIDUAL = 3  # join verdict: window did not bracket the query -> fall back
 
 
 def _round_up(x: int, m: int) -> int:
@@ -42,29 +57,35 @@ def _round_up(x: int, m: int) -> int:
 
 
 # --------------------------------------------------------------------------
-# The join kernel
+# The banded join kernel
 # --------------------------------------------------------------------------
 
-def _join_kernel(mi_ref, ih_ref, q_ref, w0_ref, w1_ref, out_ref, *, ki: int):
-    """One grid step: decide membership of CHUNK sorted query keys against a
-    2*ki x 128 window of the sorted index (rows ih*ki .. ih*ki+2ki-1).
+def _join_kernel(mi_ref, ih_ref, q_ref, qb_ref, w0a_ref, w1a_ref,
+                 w0b_ref, w1b_ref, out_ref, acc_ref, *, ki: int):
+    """One grid step: verdicts for CHUNK sorted query (keya, keyb) pairs
+    against a 2*ki x 128 window of the index sorted by keya (rows
+    ih*ki .. ih*ki+2ki-1 of the a/b planes).
 
-    Soundness invariant (why 0/1 verdicts are exact): the flattened index is
-    globally ascending with all valid entries in the prefix [0, mi). If a
-    query q satisfies wmin <= q <= wmax (the masked min/max of the window's
-    valid entries), then any occurrence of q outside the window would force
-    an equal value at the window boundary -- i.e. q also occurs inside the
-    window -- so in-window equality decides global membership. ih == 0 /
-    covers_end extend coverage to the array ends."""
+    Bracketing invariant (why NONMEM is exact): the flattened a-plane is
+    globally ascending with all valid entries in the prefix [0, mi). If
+    wmin <= qa <= wmax (masked min/max of the window) then any occurrence
+    of qa outside the window forces an equal value at the window edge,
+    i.e. qa also occurs inside -- so in-window equality decides global
+    keya membership. ih == 0 / covers_end extend coverage to the ends.
+    CONF (pair equality) is sound unconditionally: a match is a match.
+    """
     g = pl.program_id(0)
     mi = mi_ref[0]
     ih = ih_ref[g]
     base = ih * (ki * 128)  # first flat index element of the window
 
-    qk = q_ref[0]  # [1, C] uint32
+    qa = q_ref[0]   # [1, C] uint32, ascending
+    qb = qb_ref[0]  # [1, C] uint32, aligned payload
+    c = qa.shape[1]
+    g2 = c // 128
     # order-preserving signed view (Mosaic has no unsigned reductions)
     bias = jnp.uint32(0x80000000)
-    qs = (qk ^ bias).astype(jnp.int32)
+    qs = (qa ^ bias).astype(jnp.int32)
 
     int_min = jnp.int32(-0x80000000)
     int_max = jnp.int32(0x7FFFFFFF)
@@ -79,62 +100,93 @@ def _join_kernel(mi_ref, ih_ref, q_ref, w0_ref, w1_ref, out_ref, *, ki: int):
         return (jnp.min(jnp.where(v, ws, int_max)),
                 jnp.max(jnp.where(v, ws, int_min)))
 
-    def scan_half(ref, half, acc):
-        # ki is static: unroll (Mosaic cannot carry i1 vectors through
-        # scf.for). Each row compares its 128 sorted entries against all C
-        # queries as a 2D [128, C] equality; sum-reduce over the sublane
-        # axis accumulates the per-query match count (cap 2*ki*128 << 2^31).
-        start0 = base + half * (ki * 128)
-        for r in range(ki):
-            row = (ref[pl.ds(r, 1), :] ^ bias).astype(jnp.int32)  # [1, 128]
-            rowt = row.reshape(128, 1)
-            vrow = (start0 + r * 128 + lanet) < mi  # [128, 1]
-            eq = jnp.where((rowt == qs) & vrow, 1, 0)  # [128, C] int32
-            acc = acc + jnp.sum(eq, axis=0, keepdims=True)  # [1, C]
-        return acc
-
-    wmin0, wmax0 = minmax_half(w0_ref, 0)
-    wmin1, wmax1 = minmax_half(w1_ref, 1)
+    wmin0, wmax0 = minmax_half(w0a_ref, 0)
+    wmin1, wmax1 = minmax_half(w1a_ref, 1)
     wmin = jnp.minimum(wmin0, wmin1)
     wmax = jnp.maximum(wmax0, wmax1)
 
-    acc = jnp.zeros(qs.shape, dtype=jnp.int32)
-    acc = scan_half(w0_ref, 0, acc)
-    acc = scan_half(w1_ref, 1, acc)
-    hit = acc > 0
+    # accumulators: row 0 = keya match count, row 1 = exact pair count
+    # (zero only the used rows -- the scratch persists across grid steps
+    # and a full [8, C] clear per step costs real HBM-adjacent bandwidth)
+    acc_ref[0:2, :] = jnp.zeros((2, c), jnp.int32)
 
+    # banded scan: both sides are sorted, so a 128-entry index row can
+    # only match queries when its value range overlaps the chunk's range;
+    # the chunk spans ~1/3 of the window by construction (pick_chunk), so
+    # most rows are skipped by the scalar predicate. Surviving rows do one
+    # dense [128, C] compare (large vector op, pipelines well -- per-group
+    # banding was measured 5x SLOWER from scalar overhead).
+    qlo = (q_ref[0, 0, 0] ^ bias).astype(jnp.int32)
+    qhi = (q_ref[0, 0, c - 1] ^ bias).astype(jnp.int32)
+    for half, (refa, refb) in ((0, (w0a_ref, w0b_ref)),
+                               (1, (w1a_ref, w1b_ref))):
+        start0 = base + half * (ki * 128)
+        for r in range(ki):
+            # rows are sorted: min/max are the edge lanes (scalar loads)
+            rlo = (refa[r, 0] ^ bias).astype(jnp.int32)
+            rhi = (refa[r, 127] ^ bias).astype(jnp.int32)
+
+            @pl.when((rhi >= qlo) & (rlo <= qhi))
+            def _(refa=refa, refb=refb, r=r, start0=start0):
+                rowa = (refa[pl.ds(r, 1), :] ^ bias).astype(jnp.int32)
+                rta = rowa.reshape(128, 1)
+                rtb = refb[pl.ds(r, 1), :].reshape(128, 1)
+                vrow = (start0 + r * 128 + lanet) < mi  # [128, 1]
+                eqa = (rta == qs) & vrow  # [128, C]
+                eqc = eqa & (rtb == qb)
+                acc_ref[0:1, :] += jnp.sum(
+                    jnp.where(eqa, 1, 0), axis=0, keepdims=True)
+                acc_ref[1:2, :] += jnp.sum(
+                    jnp.where(eqc, 1, 0), axis=0, keepdims=True)
+
+    hit_a = acc_ref[0:1, :] > 0
+    hit_c = acc_ref[1:2, :] > 0
+
+    # fold the array-end relaxations into the scalar bounds (mixing scalar
+    # i1 with vector i1 trips Mosaic relayouts)
     covers_end = (base + 2 * ki * 128) >= mi
-    cov_lo = (qs >= wmin) | (ih == 0)
-    cov_hi = (qs <= wmax) | covers_end
-    out_ref[0] = jnp.where(cov_lo & cov_hi, hit.astype(jnp.int8),
-                           jnp.int8(RESIDUAL))
+    wmin_eff = jnp.where(ih == 0, int_min, wmin)
+    wmax_eff = jnp.where(covers_end, int_max, wmax)
+    covered = (qs >= wmin_eff) & (qs <= wmax_eff)
+    # CONF(2) if the exact pair matched; else CAND(1) on a keya hit; else
+    # NONMEM(0) when bracketing proves absence; else RESIDUAL(3).
+    # Select in int32 (i1 masks of mixed bit-width groups don't relayout);
+    # narrow to int8 only at the final store.
+    verdict = jnp.where(
+        hit_c, jnp.int32(CONF),
+        jnp.where(hit_a, jnp.int32(CAND),
+                  jnp.where(covered, jnp.int32(NONMEM),
+                            jnp.int32(RESIDUAL))))
+    out_ref[0] = verdict.astype(jnp.int8)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "ki", "interpret"))
-def join_membership(ik2d: jax.Array, mi: jax.Array, q_sorted: jax.Array,
-                    chunk: int = 2048, ki: int = 16,
+def join_membership(ika: jax.Array, ikb: jax.Array, mi: jax.Array,
+                    qa_sorted: jax.Array, qb_sorted: jax.Array,
+                    chunk: int = 2048, ki: int = 8,
                     interpret: bool = False) -> jax.Array:
-    """Membership of every sorted query key in the sorted index.
+    """Verdicts for every sorted query pair against the sorted index pairs.
 
-    ik2d: [Ri, 128] uint32, ascending when flattened; entries at flat
-          position >= mi are padding (any value). Ri must be a multiple of
-          ki and >= 2*ki.
+    ika/ikb: [Ri, 128] uint32 keya/keyb planes, ascending by keya when
+          flattened; entries at flat position >= mi are padding (SENTINEL).
+          Ri must be a multiple of ki and >= 2*ki.
     mi:   scalar int32 array, number of valid index entries.
-    q_sorted: [Mq] uint32 ascending (Mq a multiple of ``chunk``).
+    qa_sorted/qb_sorted: [Mq] uint32, ascending by qa (Mq a multiple of
+          ``chunk``; chunk a multiple of 128).
 
-    Returns [Mq] int8: 1 = member, 0 = not a member, RESIDUAL(2) = the
-    streamed window could not bracket this key (caller must fall back).
+    Returns [Mq] int8 verdicts: NONMEM/CAND/CONF/RESIDUAL.
     """
-    ri = ik2d.shape[0]
+    ri = ika.shape[0]
     assert ri % ki == 0 and ri >= 2 * ki, (ri, ki)
+    assert chunk % 128 == 0, chunk
     n_half = ri // ki
-    mq = q_sorted.shape[0]
+    mq = qa_sorted.shape[0]
     assert mq % chunk == 0, (mq, chunk)
     g = mq // chunk
 
-    firsts = q_sorted.reshape(g, chunk)[:, 0]
-    pos = jnp.searchsorted(ik2d.reshape(-1), firsts).astype(jnp.int32)
+    firsts = qa_sorted.reshape(g, chunk)[:, 0]
+    pos = jnp.searchsorted(ika.reshape(-1), firsts).astype(jnp.int32)
     ih = jnp.clip(pos // (ki * 128), 0, n_half - 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -143,6 +195,12 @@ def join_membership(ik2d: jax.Array, mi: jax.Array, q_sorted: jax.Array,
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda i, mi_r, ih_r: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, mi_r, ih_r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i] + 1, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i] + 1, 0),
@@ -150,6 +208,7 @@ def join_membership(ik2d: jax.Array, mi: jax.Array, q_sorted: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, 1, chunk), lambda i, mi_r, ih_r: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, chunk), jnp.int32)],
     )
     out = pl.pallas_call(
         functools.partial(_join_kernel, ki=ki),
@@ -157,11 +216,12 @@ def join_membership(ik2d: jax.Array, mi: jax.Array, q_sorted: jax.Array,
         grid_spec=grid_spec,
         interpret=interpret,
     )(mi.reshape(1).astype(jnp.int32), ih,
-      q_sorted.reshape(g, 1, chunk), ik2d, ik2d)
+      qa_sorted.reshape(g, 1, chunk), qb_sorted.reshape(g, 1, chunk),
+      ika, ika, ikb, ikb)
     return out.reshape(-1)
 
 
-def pick_chunk(mq: int, mi: int, ki: int = 16) -> int:
+def pick_chunk(mq: int, mi: int, ki: int = 8) -> int:
     """Query-chunk size so the expected index span per chunk stays well
     inside the 2*ki*128 window (span ~ chunk * mi/mq)."""
     window = 2 * ki * 128
@@ -171,72 +231,86 @@ def pick_chunk(mq: int, mi: int, ki: int = 16) -> int:
 
 
 # --------------------------------------------------------------------------
-# Index-side helpers: collect sorted key sets per partition
+# Index-side helpers: collect sorted (keya, keyb) sets per partition
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("length", "k", "wmax"))
 def chunk_index_keys(codes2, valid, length: int, k: int, wmax=None):
-    """Per-batch forward-strand keya values (uint32) with invalid windows
-    mapped to SENTINEL, plus the count of valid windows. Feeds
+    """Per-batch forward-strand (keya, keyb) values (uint32) with invalid
+    windows mapped to SENTINEL, plus the count of valid windows. Feeds
     finalize_index_keys."""
-    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
+    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes(codes2, valid, length)
     wk = kernels.window_keys(codes, k, "fwd", wmax)
     ok = wk["ok"]
     keys = jnp.where(ok, wk["fa_lo"], SENTINEL).reshape(-1)
+    keysb = jnp.where(ok, wk["fb_lo"], SENTINEL).reshape(-1)
     flags = jnp.where(ok, jnp.uint32(0), jnp.uint32(1)).reshape(-1)
-    return keys, flags, ok.sum(dtype=jnp.int32)
+    return keys, keysb, flags, ok.sum(dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "wmax"))
 def chunk_index_keys_codes(codes, k: int, wmax=None):
     """chunk_index_keys for plain int32 codes batches (CPU path)."""
-    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
+    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
     from commet_tpu.core import kernels
     wk = kernels.window_keys(codes, k, "fwd", wmax)
     ok = wk["ok"]
     keys = jnp.where(ok, wk["fa_lo"], SENTINEL).reshape(-1)
+    keysb = jnp.where(ok, wk["fb_lo"], SENTINEL).reshape(-1)
     flags = jnp.where(ok, jnp.uint32(0), jnp.uint32(1)).reshape(-1)
-    return keys, flags, ok.sum(dtype=jnp.int32)
+    return keys, keysb, flags, ok.sum(dtype=jnp.int32)
 
 
-def finalize_index_keys(key_chunks, flag_chunks, counts, ki: int = 16):
-    """Sort the collected key chunks into the padded [Ri, 128] index array.
+def finalize_index_keys(key_chunks, keyb_chunks, flag_chunks, counts,
+                        ki: int = 8):
+    """Sort the collected (keya, keyb) chunks into padded [Ri, 128] planes.
 
-    Valid keys sort before SENTINEL-flagged invalid windows even when a
-    *real* key equals 0xFFFFFFFF (the flag is a secondary sort key), so the
-    first ``mi`` flattened entries are exactly the valid multiset.
+    Sort keys are (keya, flag): valid keys sort before SENTINEL-flagged
+    invalid windows even when a *real* keya equals 0xFFFFFFFF, so the
+    first ``mi`` flattened entries are exactly the valid multiset. keyb
+    rides as payload (within-run order is irrelevant to the band compare).
     """
     keys = jnp.concatenate(key_chunks)
+    keysb = jnp.concatenate(keyb_chunks)
     flags = jnp.concatenate(flag_chunks)
     mi = int(sum(int(c) for c in counts))
     ri = max(4 * ki, _round_up(_round_up(keys.shape[0], 128) // 128, 2 * ki))
     pad = ri * 128 - keys.shape[0]
     if pad:
         keys = jnp.concatenate([keys, jnp.full((pad,), SENTINEL, jnp.uint32)])
+        keysb = jnp.concatenate([keysb,
+                                 jnp.full((pad,), SENTINEL, jnp.uint32)])
         flags = jnp.concatenate([flags, jnp.ones((pad,), jnp.uint32)])
-    keys, _ = jax.lax.sort([keys, flags], num_keys=2)
-    return keys.reshape(ri, 128), jnp.asarray(mi, jnp.int32)
+    keys, _, keysb = jax.lax.sort([keys, flags, keysb], num_keys=2)
+    return (keys.reshape(ri, 128), keysb.reshape(ri, 128),
+            jnp.asarray(mi, jnp.int32))
 
 
 # --------------------------------------------------------------------------
-# The streamed cascade round: memA via sort + join + unsort, then the
-# existing selection/verification/greedy machinery (kernels._strand_cascade)
+# The streamed probe: gather-free exact verdicts via sort + banded join +
+# unsort + greedy bounds. Plane gathers only happen in the caller's AMBIG
+# fallback (rare: reads whose decision hangs on potential cross-k-mer
+# Bloom false positives or unbracketed keys).
 # --------------------------------------------------------------------------
 
-def _membership_stream(ik2d, mi, wk, chunk: int, ki: int, interpret: bool):
-    """Sorted-join membership for every (read, strand, window) key.
+def _membership_stream(ika, ikb, mi, wk, chunk: int, ki: int,
+                       interpret: bool):
+    """Joined verdicts for every (read, strand, window) key pair.
 
-    Returns mem [B, 2, W] int8 (0/1/RESIDUAL) in original window order.
-    Two sorts realize the gather-free permutation: key-order for the join,
-    then payload-order (= original order) to invert it.
+    Returns mem [B, 2, W] int8 (NONMEM/CAND/CONF/RESIDUAL) in original
+    window order. Two sorts realize the gather-free permutation: key-order
+    for the join, then payload-order (= original order) to invert it.
     """
     ok = wk["ok"]
     b, w = ok.shape
     qa = jnp.where(ok, wk["fa_lo"], 0)
     ra = jnp.where(ok, wk["ra_lo"], 0)
-    q = jnp.stack([qa, ra], axis=1).reshape(-1)  # [(b*2*w)]
+    qb = jnp.where(ok, wk["fb_lo"], 0)
+    rb = jnp.where(ok, wk["rb_lo"], 0)
+    q = jnp.stack([qa, ra], axis=1).reshape(-1)   # [(b*2*w)]
+    q2 = jnp.stack([qb, rb], axis=1).reshape(-1)
     m = b * 2 * w
     mpad = _round_up(m, chunk)
     # the unsort packs the payload as (pay << 2) in uint32: the batch
@@ -248,64 +322,64 @@ def _membership_stream(ik2d, mi, wk, chunk: int, ki: int, interpret: bool):
     pay = jnp.arange(mpad, dtype=jnp.uint32)
     if mpad != m:
         q = jnp.concatenate([q, jnp.full((mpad - m,), SENTINEL, jnp.uint32)])
-    sk, pay = jax.lax.sort([q, pay], num_keys=1)
-    mem_s = join_membership(ik2d, mi, sk, chunk, ki, interpret)
+        q2 = jnp.concatenate([q2, jnp.full((mpad - m,), SENTINEL,
+                                           jnp.uint32)])
+    sk, skb, pay = jax.lax.sort([q, q2, pay], num_keys=1)
+    mem_s = join_membership(ika, ikb, mi, sk, skb, chunk, ki, interpret)
     packed = (pay << 2) | (mem_s.astype(jnp.uint32) & 3)
     mem = (jnp.sort(packed) & 3)[:m].reshape(b, 2, w).astype(jnp.int8)
     return mem
 
 
+def _stream_verdict(wk, mem, k: int, t: int):
+    """TAGGED/UNTAGGED/AMBIG from joined window verdicts, zero gathers.
+
+    CONF windows are guaranteed reference-plane members; CAND/RESIDUAL may
+    or may not be. greedy(conf) >= t proves tagged; greedy(conf|maybe) < t
+    proves untagged; anything else is AMBIG for the exact fallback
+    (same sandwich argument as kernels._strand_cascade)."""
+    from commet_tpu.core import kernels
+    ok = wk["ok"]
+    tagged = None
+    untagged = None
+    for s in range(2):
+        conf = (mem[:, s] == CONF) & ok
+        maybe = ((mem[:, s] == CAND) | (mem[:, s] == RESIDUAL)) & ok
+        tag_s = kernels._greedy(conf, k, t) >= t
+        untag_s = kernels._greedy(conf | maybe, k, t) < t
+        tagged = tag_s if tagged is None else (tagged | tag_s)
+        untagged = untag_s if untagged is None else (untagged & untag_s)
+    return jnp.where(tagged, jnp.int8(kernels.VERDICT_TAGGED),
+                     jnp.where(untagged, jnp.int8(kernels.VERDICT_UNTAGGED),
+                               jnp.int8(kernels.VERDICT_AMBIG)))
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "length", "k", "t", "V", "wmax", "chunk", "ki", "interpret"))
-def probe_cascade2_stream(planes, ik2d, mi, codes2, lengths, length: int,
-                          k: int, t: int, V: int, wmax=None,
-                          chunk: int = 2048, ki: int = 16,
+    "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
+def probe_cascade2_stream(ika, ikb, mi, codes2, lengths, length: int,
+                          k: int, t: int, wmax=None,
+                          chunk: int = 2048, ki: int = 8,
                           interpret: bool = False):
-    """Fused both-strand cascade with the plane-A prefilter computed by the
-    sorted-set join instead of plane gathers. Planes are still used for the
-    targeted B/C/D verification (a few positions per read). Verdict
-    semantics identical to kernels.probe_cascade2_clean; join residuals are
-    folded into AMBIG (sound: the caller's fallback is exact)."""
-    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
+    """Fused both-strand streamed probe: exact TAGGED/UNTAGGED verdicts
+    from the sorted join alone (no plane gathers); AMBIG rows are the
+    caller's exact-fallback residue. Verdict semantics identical to
+    kernels.probe_cascade2_clean."""
+    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes_clean(codes2, lengths, length)
     wk = kernels.window_keys(codes, k, "both", wmax)
-    ok = wk["ok"]
-    mem = _membership_stream(ik2d, mi, wk, chunk, ki, interpret)
-    resid_any = ((mem == RESIDUAL) & ok[:, None, :]).any(axis=(1, 2))
-    mem_f = (mem[:, 0] == 1) & ok
-    mem_r = (mem[:, 1] == 1) & ok
-    tag_f, untag_f = kernels._strand_cascade(planes, wk, "f", k, t, V,
-                                             memA=mem_f)
-    tag_r, untag_r = kernels._strand_cascade(planes, wk, "r", k, t, V,
-                                             memA=mem_r)
-    tagged = tag_f | tag_r
-    untagged = untag_f & untag_r & ~resid_any
-    return jnp.where(tagged, jnp.int8(kernels.VERDICT_TAGGED),
-                     jnp.where(untagged, jnp.int8(kernels.VERDICT_UNTAGGED),
-                               jnp.int8(kernels.VERDICT_AMBIG)))
+    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret)
+    return _stream_verdict(wk, mem, k, t)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "t", "V", "wmax", "chunk", "ki", "interpret"))
-def probe_cascade2_stream_codes(planes, ik2d, mi, codes, k: int, t: int,
-                                V: int, wmax=None, chunk: int = 2048,
-                                ki: int = 16, interpret: bool = False):
+    "k", "t", "wmax", "chunk", "ki", "interpret"))
+def probe_cascade2_stream_codes(ika, ikb, mi, codes, k: int, t: int,
+                                wmax=None, chunk: int = 2048,
+                                ki: int = 8, interpret: bool = False):
     """probe_cascade2_stream for plain int32 code batches (CPU/tests)."""
-    assert k <= 32, f"streaming join keys on fa_lo only: k={k} > 32"
+    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
     from commet_tpu.core import kernels
     wk = kernels.window_keys(codes, k, "both", wmax)
-    ok = wk["ok"]
-    mem = _membership_stream(ik2d, mi, wk, chunk, ki, interpret)
-    resid_any = ((mem == RESIDUAL) & ok[:, None, :]).any(axis=(1, 2))
-    mem_f = (mem[:, 0] == 1) & ok
-    mem_r = (mem[:, 1] == 1) & ok
-    tag_f, untag_f = kernels._strand_cascade(planes, wk, "f", k, t, V,
-                                             memA=mem_f)
-    tag_r, untag_r = kernels._strand_cascade(planes, wk, "r", k, t, V,
-                                             memA=mem_r)
-    tagged = tag_f | tag_r
-    untagged = untag_f & untag_r & ~resid_any
-    return jnp.where(tagged, jnp.int8(kernels.VERDICT_TAGGED),
-                     jnp.where(untagged, jnp.int8(kernels.VERDICT_UNTAGGED),
-                               jnp.int8(kernels.VERDICT_AMBIG)))
+    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret)
+    return _stream_verdict(wk, mem, k, t)

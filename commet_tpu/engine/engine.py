@@ -52,14 +52,19 @@ def _stream_selfcheck(interpret: bool) -> bool:
     try:
         from commet_tpu.core import stream as _stream
         keys = jnp.arange(0, 1024, 2, dtype=jnp.uint32)  # evens 0..2046
+        keysb = keys ^ jnp.uint32(1)
         flags = jnp.zeros_like(keys)
-        ik2d, mi = _stream.finalize_index_keys([keys], [flags],
-                                               [keys.shape[0]], ki=8)
-        q = jnp.arange(512, dtype=jnp.uint32)  # 0..511 sorted
-        got = np.asarray(_stream.join_membership(ik2d, mi, q, chunk=512,
-                                                 ki=8, interpret=interpret))
-        want = (np.arange(512) % 2 == 0).astype(np.int8)
-        decided = got != 2
+        ika, ikb, mi = _stream.finalize_index_keys(
+            [keys], [keysb], [flags], [keys.shape[0]], ki=8)
+        qa = jnp.arange(512, dtype=jnp.uint32)  # 0..511 sorted
+        qb = qa ^ jnp.uint32(1)
+        got = np.asarray(_stream.join_membership(ika, ikb, mi, qa, qb,
+                                                 chunk=512, ki=8,
+                                                 interpret=interpret))
+        # evens: exact pair present -> CONF; odds: keya absent -> NONMEM
+        even = np.arange(512) % 2 == 0
+        want = np.where(even, _stream.CONF, _stream.NONMEM).astype(np.int8)
+        decided = got != _stream.RESIDUAL
         ok = bool(decided.any()) and bool((got[decided] == want[decided]).all())
     except Exception as exc:  # noqa: BLE001 - any failure means fallback
         import sys
@@ -211,8 +216,13 @@ class Engine:
                                                "65536"))
         if self.stream and not _stream_selfcheck(self._stream_interpret):
             self.stream = False
-        self._ik2d = None
+        self._ika = self._ikb = None
         self._ik_mi = None
+        # CAND-flood guard: when the index fill (valid k-mers / 2^k) is
+        # high, most windows are keya collisions and the streamed verdicts
+        # degenerate to AMBIG; the gather cascade is the right tool there
+        self.stream_max_fill = float(os.environ.get(
+            "COMMET_TPU_STREAM_MAX_FILL", "0.02"))
         # multi-chip modes (commet_tpu/parallel/sharded.py):
         #   dp    - planes replicated, batch sharded: linear reads/s scaling,
         #           reuses the single-chip cascade kernels via GSPMD
@@ -425,20 +435,22 @@ class Engine:
         return planes
 
     def _finish_index_keys(self, collect):
-        """Sort the per-batch keya chunks into the partition's sorted index
-        set (stream probe side input); resets it when streaming is off."""
+        """Sort the per-batch (keya, keyb) chunks into the partition's
+        sorted index planes (stream probe side input); resets them when
+        streaming is off."""
         if collect is None or not self.stream:
-            self._ik2d = self._ik_mi = None
+            self._ika = self._ikb = self._ik_mi = None
             return
         from commet_tpu.core import stream as _stream
         keys = [c[0] for c in collect]
-        flags = [c[1] for c in collect]
-        counts = [int(c[2]) for c in collect]
+        keysb = [c[1] for c in collect]
+        flags = [c[2] for c in collect]
+        counts = [int(c[3]) for c in collect]
         if not keys:
-            self._ik2d = self._ik_mi = None
+            self._ika = self._ikb = self._ik_mi = None
             return
-        self._ik2d, self._ik_mi = _stream.finalize_index_keys(
-            keys, flags, counts)
+        self._ika, self._ikb, self._ik_mi = _stream.finalize_index_keys(
+            keys, keysb, flags, counts)
 
     def search_set(self, planes, enc: EncodedSet, idx: np.ndarray):
         """Classify reads ``idx``; returns bool tags [len(idx)].
@@ -521,7 +533,9 @@ class Engine:
             rows = idx[amb]
             pending = []  # (slice, device verdict) — sync after dispatching
             use_stream = (first_round and self.stream
-                          and self._ik2d is not None)
+                          and self._ika is not None
+                          and int(self._ik_mi) / float(2 ** self.k)
+                          <= self.stream_max_fill)
             first_round = False
             if use_stream:
                 from commet_tpu.core import stream as _stream
@@ -545,8 +559,8 @@ class Engine:
                     jchunk = _stream.pick_chunk(
                         size * 2 * wmax, mi_host)
                     verdict = _stream.probe_cascade2_stream(
-                        planes, self._ik2d, self._ik_mi, self._dev(c2),
-                        self._dev(ln), lpad, self.k, self.t, v, wmax,
+                        self._ika, self._ikb, self._ik_mi, self._dev(c2),
+                        self._dev(ln), lpad, self.k, self.t, wmax,
                         jchunk, interpret=self._stream_interpret)
                     pending.append((sl, verdict))
             elif on_cpu:

@@ -51,9 +51,49 @@ def test_bc_in_a_golden(tmp_path, monkeypatch):
         _golden_counters(os.path.join(GOLDEN, "BC_in_A.log.counters"))
 
 
-def test_partitioned_k15_golden(tmp_path, monkeypatch):
-    """k=15 forces many max_kmer partitions; checks the dropped-read
-    boundary semantics and found-read skipping across partitions."""
+def _slice_fasta(src, dst, n_reads):
+    """First n_reads records of a 2-line-per-record fasta."""
+    with open(src) as f, open(dst, "w") as out:
+        count = 0
+        for line in f:
+            if line.startswith(">"):
+                count += 1
+                if count > n_reads:
+                    break
+            out.write(line)
+
+
+def test_partitioned_k15_golden(tmp_path):
+    """k=15 forces many max_kmer partitions (~96 kmers/read vs a 3814-kmer
+    cap -> ~20 partitions at 800 reads); checks the dropped-read boundary
+    semantics and found-read skipping across partitions. Sliced workload;
+    the golden comes from the reference binary run live on the same data
+    (full-size A-vs-B coverage lives in the slow marker set)."""
+    import subprocess
+
+    a_fa = str(tmp_path / "A800.fa")
+    b_fa = str(tmp_path / "B500.fa")
+    _slice_fasta("/root/reference/ABCDE_bench/A.fa", a_fa, 800)
+    _slice_fasta("/root/reference/ABCDE_bench/B.fa", b_fa, 500)
+    out = run_ias(tmp_path, [f"A: {a_fa}"], [f"B: {b_fa}"], k=15, t=2)
+
+    ref_bin = "/tmp/refbuild/bin/index_and_search"
+    if not os.path.exists(ref_bin):
+        pytest.skip("reference binary not built")
+    refout = str(tmp_path / "refout")
+    subprocess.run([ref_bin, "-i", str(tmp_path / "index.txt"),
+                    "-s", str(tmp_path / "search.txt"),
+                    "-k", "15", "-t", "2", "-o", refout, "-l", refout],
+                   check=True, capture_output=True)
+    _same_bytes(str(out / "B500.fa_in_A.bv"),
+                os.path.join(refout, "B500.fa_in_A.bv"))
+    assert _counters(str(out / "B_in_A.log")) == \
+        _counters(os.path.join(refout, "B_in_A.log"))
+
+
+@pytest.mark.slow
+def test_partitioned_k15_golden_full(tmp_path, monkeypatch):
+    """Full-size A-vs-B k=15 partitioned golden (~300 partitions)."""
     monkeypatch.chdir("/root/reference")
     out = run_ias(tmp_path,
                   ["A: ABCDE_bench/A.fa"],

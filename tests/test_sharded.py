@@ -45,28 +45,59 @@ def test_sharded_matches_single(mesh, k):
     assert (flat8 == np.asarray(p1)).all()
 
 
+def _slice_fasta(src, dst, n_reads):
+    """First n_reads records of a 2-line-per-record fasta."""
+    with open(src) as f, open(dst, "w") as out:
+        count = 0
+        for line in f:
+            if line.startswith(">"):
+                count += 1
+                if count > n_reads:
+                    break
+            out.write(line)
+
+
 def test_sharded_engine_matches_golden(mesh, tmp_path):
-    """The full engine in multi-chip mode must reproduce the reference
-    golden result bit-for-bit (k=15 partitioned case, 8-way mesh)."""
+    """The full engine in multi-chip (plane-sharded) mode must reproduce the
+    reference binary bit-for-bit on a k=15 MULTI-partition workload. Sliced
+    to 600/400 reads (still ~15 max_kmer partitions at k=15 - the partition
+    cursor, dropped-boundary-read and found-read-skipping semantics are all
+    exercised); the golden is generated live by the reference binary."""
     import os
+    import subprocess
 
     from commet_tpu.engine.engine import Engine
     from commet_tpu.io.reads import ReadSet
 
-    os.chdir("/root/reference")
-    index_set = ReadSet("A")
-    index_set.add_file("ABCDE_bench/A.fa")
-    query = ReadSet("B")
-    query.add_file("ABCDE_bench/B.fa")
+    a_fa = str(tmp_path / "A600.fa")
+    b_fa = str(tmp_path / "B400.fa")
+    _slice_fasta("/root/reference/ABCDE_bench/A.fa", a_fa, 600)
+    _slice_fasta("/root/reference/ABCDE_bench/B.fa", b_fa, 400)
 
-    eng = Engine(k=15, t=2, batch=4096, mesh=mesh,
-                 mesh_mode="plane")
+    index_set = ReadSet("A")
+    index_set.add_file(a_fa)
+    query = ReadSet("B")
+    query.add_file(b_fa)
+
+    eng = Engine(k=15, t=2, batch=4096, mesh=mesh, mesh_mode="plane")
+    # ~96 kmers/read vs max_kmer=3814 at k=15: genuinely multi-partition
+    assert len(eng.partitions(np.full(600, 96, dtype=np.int64))) > 5
     out = str(tmp_path)
     eng.index_and_search(index_set, [query], out_dir=out, log_dir=out)
 
-    golden = os.path.join("/root/repo/tests/golden/unit/part", "B.fa_in_A.bv")
-    with open(os.path.join(out, "B.fa_in_A.bv"), "rb") as f1, \
-         open(golden, "rb") as f2:
+    ref_bin = "/tmp/refbuild/bin/index_and_search"
+    if not os.path.exists(ref_bin):
+        pytest.skip("reference binary not built")
+    fof_i = tmp_path / "i.txt"
+    fof_s = tmp_path / "s.txt"
+    fof_i.write_text(f"A: {a_fa}\n")
+    fof_s.write_text(f"B: {b_fa}\n")
+    refout = str(tmp_path / "refout")
+    subprocess.run([ref_bin, "-i", str(fof_i), "-s", str(fof_s),
+                    "-k", "15", "-t", "2", "-o", refout, "-l", refout],
+                   check=True, capture_output=True)
+    with open(os.path.join(out, "B400.fa_in_A.bv"), "rb") as f1, \
+         open(os.path.join(refout, "B400.fa_in_A.bv"), "rb") as f2:
         assert f1.read() == f2.read()
 
 
@@ -112,12 +143,16 @@ def test_dp_mode_matches_single(mesh, k):
     assert (tags == np.asarray(tag1)).all()
 
 
-def test_engine_dp_mode_counters(mesh, monkeypatch):
-    """Engine in DP mesh mode must reproduce single-chip counters."""
+def test_engine_dp_mode_counters(mesh, tmp_path):
+    """Engine in DP mesh mode must reproduce single-chip counters (sliced
+    multi-partition k=15 workload, see test_sharded_engine_matches_golden)."""
     from commet_tpu.engine.engine import Engine
     from commet_tpu.io.reads import ReadSet
 
-    monkeypatch.chdir("/root/reference")
+    a_fa = str(tmp_path / "A600.fa")
+    b_fa = str(tmp_path / "B400.fa")
+    _slice_fasta("/root/reference/ABCDE_bench/A.fa", a_fa, 600)
+    _slice_fasta("/root/reference/ABCDE_bench/B.fa", b_fa, 400)
 
     def mkset(name, f):
         rs = ReadSet(name)
@@ -128,9 +163,10 @@ def test_engine_dp_mode_counters(mesh, monkeypatch):
     e_dp = Engine(k=k, t=t, batch=2048, mesh=mesh)
     assert e_dp.mesh_mode == "dp"
     e_1 = Engine(k=k, t=t, batch=2048)
-    c_dp = e_dp.index_and_search(mkset("A", "ABCDE_bench/A.fa"),
-                                 [mkset("B", "ABCDE_bench/B.fa")], save=False)
-    c_1 = e_1.index_and_search(mkset("A", "ABCDE_bench/A.fa"),
-                               [mkset("B", "ABCDE_bench/B.fa")], save=False)
+    c_dp = e_dp.index_and_search(mkset("A", a_fa), [mkset("B", b_fa)],
+                                 save=False)
+    c_1 = e_1.index_and_search(mkset("A", a_fa), [mkset("B", b_fa)],
+                               save=False)
+    assert c_1["B"]["shared"] > 0
     for key in ("indexed", "searched", "shared"):
         assert c_dp["B"][key] == c_1["B"][key]

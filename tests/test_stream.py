@@ -49,12 +49,24 @@ def implant(rng, idx_seqs, qry_seqs, k):
 
 
 def build_all(idx_codes, k):
-    """Planes + the sorted keya index set from the same batches."""
+    """Planes + the sorted (keya, keyb) index planes from the same data."""
     planes = kernels.alloc_planes(k)
     planes = kernels.build_chunk(planes, jnp.asarray(idx_codes), k)
-    keys, flags, cnt = stream.chunk_index_keys_codes(jnp.asarray(idx_codes), k)
-    ik2d, mi = stream.finalize_index_keys([keys], [flags], [int(cnt)], ki=2)
-    return planes, ik2d, mi
+    ka, kb, flags, cnt = stream.chunk_index_keys_codes(
+        jnp.asarray(idx_codes), k)
+    ika, ikb, mi = stream.finalize_index_keys([ka], [kb], [flags],
+                                              [int(cnt)], ki=2)
+    return planes, ika, ikb, mi
+
+
+def exact_key_sets(idx_codes, k):
+    """keya set and (keya, keyb) pair set of the index's valid forward
+    windows (numpy oracle for the join verdicts)."""
+    wk = kernels.window_keys(jnp.asarray(idx_codes), k, "fwd")
+    ok = np.asarray(wk["ok"]).reshape(-1)
+    fa = np.asarray(wk["fa_lo"]).reshape(-1)[ok]
+    fb = np.asarray(wk["fb_lo"]).reshape(-1)[ok]
+    return set(fa.tolist()), set(zip(fa.tolist(), fb.tolist()))
 
 
 @pytest.mark.parametrize("k", [15, 21, 31, 32])
@@ -66,26 +78,41 @@ def test_join_membership_matches_plane_gather(k, t):
     implant(rng, idx_seqs, qry_seqs, k)
     lpad = max(max(len(s) for s in qry_seqs), k)
     idx_codes = encode(idx_seqs, max(max(len(s) for s in idx_seqs), k))
-    planes, ik2d, mi = build_all(idx_codes, k)
+    planes, ika, ikb, mi = build_all(idx_codes, k)
+    aset, pairset = exact_key_sets(idx_codes, k)
 
     codes = jnp.asarray(encode(qry_seqs, lpad))
     wk = kernels.window_keys(codes, k, "both")
-    mem = stream._membership_stream(ik2d, mi, wk, chunk=512, ki=2,
+    mem = stream._membership_stream(ika, ikb, mi, wk, chunk=512, ki=2,
                                     interpret=True)
     ok = np.asarray(wk["ok"])
     mem = np.asarray(mem)
-    # exact plane-A membership for comparison
+    # exact plane-A membership for comparison (plane A stores exactly the
+    # keya set: injective key->bit map)
     wA, mA = kernels._plane_addr(wk["fa_lo"], wk["fa_hi"], k)
     exp_f = np.asarray(kernels._test_plane(planes, 0, wA, mA, k)) & ok
     wA, mA = kernels._plane_addr(wk["ra_lo"], wk["ra_hi"], k)
     exp_r = np.asarray(kernels._test_plane(planes, 0, wA, mA, k)) & ok
     got_f, got_r = mem[:, 0], mem[:, 1]
-    # every non-residual verdict must agree; residuals allowed only rarely
-    assert ((got_f != stream.RESIDUAL) & ok).any()
-    np.testing.assert_array_equal((got_f == 1) & ok & (got_f != 2),
-                                  exp_f & (got_f != 2))
-    np.testing.assert_array_equal((got_r == 1) & ok & (got_r != 2),
-                                  exp_r & (got_r != 2))
+    decided_f = got_f != stream.RESIDUAL
+    decided_r = got_r != stream.RESIDUAL
+    assert (decided_f & ok).any()
+    # keya membership (CAND or CONF) must equal the plane-A gather verdict
+    np.testing.assert_array_equal(
+        (np.isin(got_f, (stream.CAND, stream.CONF))) & ok & decided_f,
+        exp_f & decided_f)
+    np.testing.assert_array_equal(
+        (np.isin(got_r, (stream.CAND, stream.CONF))) & ok & decided_r,
+        exp_r & decided_r)
+    # CONF windows carry exact (keya, keyb) pairs of the index
+    for strand, pref in ((0, "f"), (1, "r")):
+        got = mem[:, strand]
+        fa = np.asarray(wk[pref + "a_lo"])
+        fb = np.asarray(wk[pref + "b_lo"])
+        conf_pos = np.argwhere((got == stream.CONF) & ok)
+        assert len(conf_pos) > 0 or strand == 1
+        for r, c in conf_pos[:200]:
+            assert (int(fa[r, c]), int(fb[r, c])) in pairset
 
 
 @pytest.mark.parametrize("k", [15, 31, 32])
@@ -101,43 +128,58 @@ def test_stream_cascade_matches_oracle(k, t):
 
     lpad = max(max(len(s) for s in qry_seqs), k)
     idx_codes = encode(idx_seqs, max(max(len(s) for s in idx_seqs), k))
-    planes, ik2d, mi = build_all(idx_codes, k)
+    planes, ika, ikb, mi = build_all(idx_codes, k)
     codes = jnp.asarray(encode(qry_seqs, lpad))
 
-    for v in (1, 2, 4):
-        verdict = np.asarray(stream.probe_cascade2_stream_codes(
-            planes, ik2d, mi, codes, k, t, v, chunk=512, ki=2,
-            interpret=True))
-        tags = verdict == kernels.VERDICT_TAGGED
-        amb = verdict == kernels.VERDICT_AMBIG
-        # sound where decided; ambiguous rows must be resolvable by the
-        # exact probe (and not contradict it)
-        full, _ = kernels.search_batch(planes, codes, k, t)
-        full = np.asarray(full)
-        np.testing.assert_array_equal(tags[~amb], full[~amb])
-        np.testing.assert_array_equal(np.where(amb, full, tags), expected)
+    verdict = np.asarray(stream.probe_cascade2_stream_codes(
+        ika, ikb, mi, codes, k, t, chunk=512, ki=2, interpret=True))
+    tags = verdict == kernels.VERDICT_TAGGED
+    amb = verdict == kernels.VERDICT_AMBIG
+    # sound where decided; ambiguous rows must be resolvable by the
+    # exact probe (and not contradict it)
+    full, _ = kernels.search_batch(planes, codes, k, t)
+    full = np.asarray(full)
+    np.testing.assert_array_equal(tags[~amb], full[~amb])
+    np.testing.assert_array_equal(np.where(amb, full, tags), expected)
+    # the stream must decide the bulk of the reads on its own
+    assert amb.mean() < 0.5
 
 
 def test_finalize_index_keys_sentinel_ties():
-    """A real key equal to 0xFFFFFFFF must stay inside the valid prefix."""
+    """A real keya equal to 0xFFFFFFFF must stay inside the valid prefix."""
     keys = jnp.asarray([5, 0xFFFFFFFF, 7], dtype=jnp.uint32)
+    keysb = jnp.asarray([50, 51, 70], dtype=jnp.uint32)
     flags = jnp.asarray([0, 0, 0], dtype=jnp.uint32)
-    ik2d, mi = stream.finalize_index_keys([keys], [flags], [3], ki=2)
-    flat = np.asarray(ik2d).reshape(-1)
+    ika, ikb, mi = stream.finalize_index_keys([keys], [keysb], [flags],
+                                              [3], ki=2)
+    flat = np.asarray(ika).reshape(-1)
     assert int(mi) == 3
     assert flat[2] == 0xFFFFFFFF  # sorted: 5, 7, real-0xFFFFFFFF, pads...
-    q = jnp.asarray(sorted([5, 6, 0xFFFFFFFF] + [0] * 509), dtype=jnp.uint32)
-    got = np.asarray(stream.join_membership(ik2d, mi, q, chunk=512, ki=2,
-                                            interpret=True))
-    lookup = dict(zip(np.asarray(q).tolist(), got.tolist()))
-    assert lookup[5] == 1 and lookup[6] == 0 and lookup[0xFFFFFFFF] == 1
+    qa = np.array(sorted([5, 6, 0xFFFFFFFF] + [0] * 509), dtype=np.uint32)
+    qb = np.zeros(512, dtype=np.uint32)
+    qb[qa == 5] = 50
+    qb[qa == 0xFFFFFFFF] = 51
+    got = np.asarray(stream.join_membership(
+        ika, ikb, mi, jnp.asarray(qa), jnp.asarray(qb), chunk=512, ki=2,
+        interpret=True))
+    lookup = dict(zip(qa.tolist(), got.tolist()))
+    assert lookup[5] == stream.CONF
+    assert lookup[6] == stream.NONMEM
+    assert lookup[0xFFFFFFFF] == stream.CONF
+    # keya present but keyb mismatch -> CAND (possible cross-k-mer FP)
+    qb2 = np.where(qa == 5, 999, qb).astype(np.uint32)
+    got2 = np.asarray(stream.join_membership(
+        ika, ikb, mi, jnp.asarray(qa), jnp.asarray(qb2), chunk=512, ki=2,
+        interpret=True))
+    assert dict(zip(qa.tolist(), got2.tolist()))[5] == stream.CAND
 
 
 def test_join_membership_empty_index():
     keys = jnp.zeros((0,), jnp.uint32)
     flags = jnp.zeros((0,), jnp.uint32)
-    ik2d, mi = stream.finalize_index_keys([keys], [flags], [0], ki=2)
-    q = jnp.asarray(sorted(np.arange(512, dtype=np.uint32)))
-    got = np.asarray(stream.join_membership(ik2d, mi, q, chunk=512, ki=2,
-                                            interpret=True))
-    assert (got == 0).all()
+    ika, ikb, mi = stream.finalize_index_keys([keys], [keys], [flags],
+                                              [0], ki=2)
+    q = jnp.asarray(np.arange(512, dtype=np.uint32))
+    got = np.asarray(stream.join_membership(ika, ikb, mi, q, q, chunk=512,
+                                            ki=2, interpret=True))
+    assert (got == stream.NONMEM).all()
