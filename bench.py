@@ -34,6 +34,27 @@ def log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def wait_for_healthy_tunnel(tries: int = 6, threshold_s: float = 0.35):
+    """The tunneled TPU terminal intermittently stalls for minutes; a timed
+    section started inside a stall reports garbage. Gate on a tiny
+    round-trip op being fast before every timed section (bounded wait)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros(1024, jnp.uint32)
+    float(x.sum())  # warm the kernel
+    for i in range(tries):
+        t0 = time.time()
+        float((x + np.uint32(i)).sum())
+        dt = time.time() - t0
+        if dt < threshold_s:
+            return
+        log(f"tunnel slow ({dt:.2f}s round-trip); waiting 60s "
+            f"({i + 1}/{tries})")
+        time.sleep(60)
+    log("tunnel still slow; proceeding anyway")
+
+
 def synth_workload(rng):
     index_codes = rng.integers(0, 4, size=(N_INDEX, READ_LEN), dtype=np.int8)
     query = rng.integers(0, 4, size=(N_QUERY, READ_LEN), dtype=np.int8)
@@ -157,6 +178,7 @@ def main():
         return planes, ika, ikb, mi
 
     build_time = 9e9
+    wait_for_healthy_tunnel()
     for _ in range(2):  # best of 2: the tunneled link is noisy
         t0 = time.time()
         planes, ika, ikb, mi = build_all()
@@ -217,10 +239,11 @@ def main():
         return tags, len(amb)
 
     # warm the fallback shapes outside the timed reps, then report the best
-    # of 3 timed repetitions (the tunneled link is noisy run to run)
+    # of 5 timed repetitions (the tunneled link is noisy run to run)
     tags, n_amb = run_search()
+    wait_for_healthy_tunnel()
     dt = 9e9
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         tags, n_amb = run_search()
         dt = min(dt, time.time() - t0)
@@ -350,8 +373,9 @@ def bench_k33(rng):
         return tags
 
     tags = search_once()  # warm/compile
+    wait_for_healthy_tunnel()
     dt = 9e9
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         tags = search_once()
         dt = min(dt, time.time() - t0)
@@ -438,19 +462,33 @@ def bench_pair(index_codes, query_codes, expect_shared):
     with open(qry_fof, "w") as f:
         f.write(f"Q: {qry_fa}\n")
 
-    t0 = time.time()
-    rs_i = ReadSet("I")
-    rs_i.add_file(idx_fa)
-    rs_q = ReadSet("Q")
-    rs_q.add_file(qry_fa)
-    eng = Engine(k=K, t=T, batch=BATCH)
-    counters = eng.index_and_search(rs_i, [rs_q], save=False)
-    ours = time.time() - t0
-    shared = counters["Q"]["shared"]
-    assert shared == expect_shared, (shared, expect_shared)
-    log(f"pair end-to-end (ours): {ours:.2f}s, shared {shared}")
+    # two in-process runs: the first pays per-process jit tracing + compile
+    # -cache deserialization (amortized across the N x N schedule in the
+    # real driver, where one process serves every pair); the second is the
+    # steady-state pair cost. Both reported.
+    ours_first = ours = 9e9
+    shared = None
+    wait_for_healthy_tunnel()
+    for rep in range(2):
+        t0 = time.time()
+        rs_i = ReadSet("I")
+        rs_i.add_file(idx_fa)
+        rs_q = ReadSet("Q")
+        rs_q.add_file(qry_fa)
+        eng = Engine(k=K, t=T, batch=BATCH)
+        counters = eng.index_and_search(rs_i, [rs_q], save=False)
+        dt = time.time() - t0
+        if rep == 0:
+            ours_first = dt
+        ours = min(ours, dt)
+        shared = counters["Q"]["shared"]
+        assert shared == expect_shared, (shared, expect_shared)
+    log(f"pair end-to-end (ours): {ours:.2f}s steady-state "
+        f"({ours_first:.2f}s first incl. per-process jit), shared {shared}")
 
-    out = {"pair_seconds": round(ours, 2), "pair_shared": shared}
+    out = {"pair_seconds": round(ours, 2),
+           "pair_seconds_first": round(ours_first, 2),
+           "pair_shared": shared}
 
     ref_bin = "/tmp/refbuild/bin/index_and_search"
     if not os.path.exists(ref_bin) and os.path.isdir("/root/reference"):
@@ -478,6 +516,8 @@ def bench_pair(index_codes, query_codes, expect_shared):
             f"shared {ref_shared} (agrees)")
         out["ref_pair_seconds"] = round(ref_s, 2)
         out["pair_speedup"] = round(ref_s / ours, 2)
+        out["pair_speedup_first"] = round(ref_s / out["pair_seconds_first"],
+                                          2)
         # live baselines for the headline ratios (same machine, same
         # workload, this very run)
         out["ref_search_reads_per_sec"] = round(N_QUERY / ref_search_s, 1)
