@@ -210,8 +210,9 @@ class Engine:
         stream_env = os.environ.get("COMMET_TPU_STREAM", "1")
         on_cpu = jax.devices()[0].platform == "cpu"
         self._stream_interpret = on_cpu
+        self._stream_forced = stream_env == "force"
         self.stream = (stream_env != "0" and mesh is None and k <= 32
-                       and (not on_cpu or stream_env == "force"))
+                       and (not on_cpu or self._stream_forced))
         self.stream_batch = int(os.environ.get("COMMET_TPU_STREAM_BATCH",
                                                "65536"))
         if self.stream and not _stream_selfcheck(self._stream_interpret):
@@ -534,8 +535,9 @@ class Engine:
             pending = []  # (slice, device verdict) — sync after dispatching
             use_stream = (first_round and self.stream
                           and self._ika is not None
-                          and int(self._ik_mi) / float(2 ** self.k)
-                          <= self.stream_max_fill)
+                          and (self._stream_forced
+                               or int(self._ik_mi) / float(2 ** self.k)
+                               <= self.stream_max_fill))
             first_round = False
             if use_stream:
                 from commet_tpu.core import stream as _stream

@@ -50,14 +50,25 @@ def fresh_selfcheck(monkeypatch):
 
 
 def test_engine_forced_stream_matches_gather(tmp_path, monkeypatch):
+    from commet_tpu.core import stream as stream_mod
+
     rng = np.random.default_rng(7)
     rs_i, rs_q = make_sets(tmp_path, rng)
 
     fresh_selfcheck(monkeypatch)
     monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    calls = {"n": 0}
+    real = stream_mod.probe_cascade2_stream
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(stream_mod, "probe_cascade2_stream", counting)
     eng = Engine(k=K, t=T, batch=2048)
     assert eng.stream, "forced stream engine must pass the self-check on CPU"
     got = eng.index_and_search(rs_i, [rs_q], save=False)
+    assert calls["n"] > 0, "stream probe was never invoked (gate bug?)"
 
     rs_i2, rs_q2 = make_sets(tmp_path, np.random.default_rng(7))
     monkeypatch.setenv("COMMET_TPU_STREAM", "0")
@@ -70,6 +81,37 @@ def test_engine_forced_stream_matches_gather(tmp_path, monkeypatch):
     got_bv = np.asarray(rs_q.result_bvs[0].data)
     want_bv = np.asarray(rs_q2.result_bvs[0].data)
     np.testing.assert_array_equal(got_bv, want_bv)
+
+
+def test_three_pass_forced_stream_matches(tmp_path, monkeypatch):
+    """compare_reads (the 3-pass refinement with apply_bv narrowing between
+    passes) must produce identical .bv bytes with the stream forced on."""
+    from commet_tpu.cli import compare_reads as cr_cli
+
+    rng = np.random.default_rng(23)
+    idx_fa = str(tmp_path / "a.fa")
+    qry_fa = str(tmp_path / "b.fa")
+    donors = write_fasta(idx_fa, rng, 90, 80)
+    write_fasta(qry_fa, rng, 110, 80, donors=donors)
+    fof_a = tmp_path / "a.txt"
+    fof_b = tmp_path / "b.txt"
+    fof_a.write_text(f"A: {idx_fa}\n")
+    fof_b.write_text(f"B: {qry_fa}\n")
+
+    outs = {}
+    for mode in ("force", "0"):
+        fresh_selfcheck(monkeypatch)
+        monkeypatch.setenv("COMMET_TPU_STREAM", mode)
+        out = str(tmp_path / f"out_{mode}")
+        rc = cr_cli.main(["-i", str(fof_a), "-s", str(fof_b),
+                          "-k", str(K), "-t", str(T), "-o", out, "-l", out])
+        assert rc == 0
+        blobs = {}
+        for name in ("a.fa_in_B.bv", "b.fa_in_A.bv"):
+            with open(f"{out}/{name}", "rb") as f:
+                blobs[name] = f.read()
+        outs[mode] = blobs
+    assert outs["force"] == outs["0"]
 
 
 def test_poisoned_stream_falls_back(tmp_path, monkeypatch):
