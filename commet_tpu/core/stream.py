@@ -288,6 +288,77 @@ def finalize_index_keys(key_chunks, keyb_chunks, flag_chunks, counts,
             jnp.asarray(mi, jnp.int32))
 
 
+class StreamIndex:
+    """A partition's complete membership structure for the planeless
+    stream mode: the (keya-sorted) join planes plus the four sorted value
+    sets of the reference's planes A/B/C/D. Since the reference plane p
+    contains exactly the set of key-p values fed into it (injective
+    key->bit map, include/bloom_filter.h:63-70), sorted-set membership of
+    all four derived keys IS the reference's 4-plane Bloom test --
+    fallback verdicts need no bit planes at all."""
+
+    __slots__ = ("ika", "ikb", "mi", "sa", "sb", "sc", "sd")
+
+    def __init__(self, ika, ikb, mi, sa, sb, sc, sd):
+        self.ika, self.ikb, self.mi = ika, ikb, mi
+        self.sa, self.sb, self.sc, self.sd = sa, sb, sc, sd
+
+
+def _sorted_set(vals, flags):
+    v, _ = jax.lax.sort([vals, flags], num_keys=2)
+    return v
+
+
+def finalize_index(key_chunks, keyb_chunks, flag_chunks, counts,
+                   ki: int = 8) -> StreamIndex:
+    """finalize_index_keys + the four sorted plane-value sets."""
+    ika, ikb, mi = finalize_index_keys(key_chunks, keyb_chunks, flag_chunks,
+                                       counts, ki)
+    a = jnp.concatenate(key_chunks)
+    b = jnp.concatenate(keyb_chunks)
+    flags = jnp.concatenate(flag_chunks)
+    invalid = flags == 1
+    c = jnp.where(invalid, SENTINEL, a ^ b)
+    d = jnp.where(invalid, SENTINEL, a | b)
+    sa = ika.reshape(-1)  # already (keya, flag)-sorted
+    return StreamIndex(ika, ikb, mi, sa,
+                       _sorted_set(b, flags), _sorted_set(c, flags),
+                       _sorted_set(d, flags))
+
+
+def _in_sorted(arr, mi, q):
+    """Membership of q (any shape, uint32) in the valid prefix [0, mi) of
+    the ascending array ``arr`` (padded with SENTINEL; real SENTINEL
+    values sort before padding, see finalize_index_keys)."""
+    n = arr.shape[0]
+    pos = jnp.searchsorted(arr, q).astype(jnp.int32)
+    hit = jnp.take(arr, jnp.clip(pos, 0, n - 1), axis=0) == q
+    return hit & (pos < mi)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "k", "t", "wmax"))
+def probe_exact_sets(sa, sb, sc, sd, mi, codes2, valid, length: int,
+                     k: int, t: int, wmax=None):
+    """Exact reference-Bloom classification via the four sorted value
+    sets (no bit planes): member = a in A and b in B and a^b in C and
+    a|b in D per window; greedy non-overlap count per strand; tagged when
+    either strand reaches t (search_reads.h:34-87 semantics). This is the
+    stream mode's fallback for AMBIG reads -- bit-exact and plane-free."""
+    from commet_tpu.core import kernels
+    codes = kernels.unpack_codes(codes2, valid, length)
+    wk = kernels.window_keys(codes, k, "both", wmax)
+    ok = wk["ok"]
+    tagged = jnp.zeros(ok.shape[0], dtype=bool)
+    for p in ("f", "r"):
+        a = wk[p + "a_lo"]
+        b = wk[p + "b_lo"]
+        member = (_in_sorted(sa, mi, a) & _in_sorted(sb, mi, b)
+                  & _in_sorted(sc, mi, a ^ b) & _in_sorted(sd, mi, a | b)
+                  & ok)
+        tagged = tagged | (kernels._greedy(member, k, t) >= t)
+    return tagged
+
+
 # --------------------------------------------------------------------------
 # The streamed probe: gather-free exact verdicts via sort + banded join +
 # unsort + greedy bounds. Plane gathers only happen in the caller's AMBIG
@@ -380,6 +451,23 @@ def probe_cascade2_stream_codes(ika, ikb, mi, codes, k: int, t: int,
     """probe_cascade2_stream for plain int32 code batches (CPU/tests)."""
     assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
     from commet_tpu.core import kernels
+    wk = kernels.window_keys(codes, k, "both", wmax)
+    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret)
+    return _stream_verdict(wk, mem, k, t)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
+def probe_cascade2_stream_packed(ika, ikb, mi, codes2, valid, length: int,
+                                 k: int, t: int, wmax=None,
+                                 chunk: int = 2048, ki: int = 8,
+                                 interpret: bool = False):
+    """probe_cascade2_stream for dirty batches (reads with non-ACGT bases
+    ship the full 1-bit validity plane; window_keys resets runs exactly
+    like the reference's hash.clear())."""
+    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
+    from commet_tpu.core import kernels
+    codes = kernels.unpack_codes(codes2, valid, length)
     wk = kernels.window_keys(codes, k, "both", wmax)
     mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret)
     return _stream_verdict(wk, mem, k, t)

@@ -219,6 +219,8 @@ class Engine:
             self.stream = False
         self._ika = self._ikb = None
         self._ik_mi = None
+        self._sidx = None
+        self._stream_serving = False  # set per partition from the fill
         # CAND-flood guard: when the index fill (valid k-mers / 2^k) is
         # high, most windows are keya collisions and the streamed verdicts
         # degenerate to AMBIG; the gather cascade is the right tool there
@@ -370,12 +372,14 @@ class Engine:
 
     # ------------------------------------------------------------ main flow
     def build_planes(self, planes, enc: EncodedSet, idx: np.ndarray):
-        """Feed every window of the partition's reads into the planes.
+        """Build the partition's membership structure.
 
-        Default path: native host build (cache-friendly random bitset
-        writes) + one upload; random single-bit scatter is the TPU's worst
-        access pattern (~65M descriptors/s measured on v5e) while the host
-        sustains it easily. Device scatter path kept as fallback.
+        Stream-serving partitions (single-chip, k<=32, low fill) build NO
+        bit planes at all: the sorted (keya, keyb) join planes plus the
+        four sorted plane-value sets (StreamIndex) carry both the streamed
+        probe and its exact fallback -- returns None. Other configurations
+        build the 4 dense HBM planes as before (sort -> segmented-OR ->
+        scatter on device; cache-friendly native bitset build on CPU).
         """
         if self._sharded_fns is not None:
             build_fn, _ = self._sharded_fns
@@ -384,29 +388,41 @@ class Engine:
             for _, codes in self._batched_codes(enc, idx):
                 planes = build_fn(planes, jnp.asarray(codes, jnp.int32))
             return planes
+        if self._stream_serving:
+            from commet_tpu.core import stream as _stream
+            collect = []
+            on_cpu = jax.devices()[0].platform == "cpu"
+            if on_cpu:
+                for _, codes in self._batched_codes(enc, idx):
+                    collect.append(_stream.chunk_index_keys_codes(
+                        jnp.asarray(codes, jnp.int32), self.k))
+            else:
+                lengths = enc.read_lengths(idx)
+                lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+                for _sl, c2, vd, _ln, _cl in self._batched_packed(
+                        enc, idx, lpad):
+                    collect.append(_stream.chunk_index_keys(
+                        self._dev(c2, "rep"), self._dev(vd, "rep"),
+                        lpad, self.k))
+            self._finish_index_keys(collect)
+            return None
+        self._finish_index_keys(None)
         if jax.devices()[0].platform != "cpu":
             # packed transport: the tunneled uplink is the bottleneck
             if planes is None:
                 planes = self._alloc_planes()
             lengths = enc.read_lengths(idx)
             lpad = _pad_length(int(lengths.max(initial=1)), self.k)
-            collect = [] if self.stream else None
             for _sl, c2, vd, _ln, _cl in self._batched_packed(enc, idx, lpad):
-                c2d, vdd = self._dev(c2, "rep"), self._dev(vd, "rep")
-                if collect is not None:
-                    from commet_tpu.core import stream as _stream
-                    collect.append(_stream.chunk_index_keys(
-                        c2d, vdd, lpad, self.k))
-                planes = kernels.build_chunk_packed(planes, c2d, vdd,
-                                                    lpad, self.k)
-            self._finish_index_keys(collect)
+                planes = kernels.build_chunk_packed(
+                    planes, self._dev(c2, "rep"), self._dev(vd, "rep"),
+                    lpad, self.k)
             return planes
         native = self._native()
         # host build + upload only pays off when the "upload" is a local
         # memcpy (CPU backend); on the tunneled TPU the ~40 MB/s uplink makes
         # shipping multi-GiB planes slower than device-side construction
         on_cpu = jax.devices()[0].platform == "cpu"
-        collect = [] if self.stream else None
         if native is not None and self.k >= 5 and on_cpu:
             planes_np = np.zeros(4 * kernels.plane_words(self.k),
                                  dtype=np.uint32)
@@ -416,42 +432,31 @@ class Engine:
                     native.build_planes_into(
                         planes_np, enc.flat_codes[fi], enc.offsets[fi],
                         enc.lengths[fi], idx[rows, 1], self.k)
-            if collect is not None:
-                from commet_tpu.core import stream as _stream
-                for _, codes in self._batched_codes(enc, idx):
-                    collect.append(_stream.chunk_index_keys_codes(
-                        jnp.asarray(codes, jnp.int32), self.k))
-            self._finish_index_keys(collect)
             return self._dev(planes_np, "rep")
         if planes is None:
             planes = self._alloc_planes()
         for _, codes in self._batched_codes(enc, idx):
-            codes_dev = self._dev(np.asarray(codes, np.int32), "rep")
-            if collect is not None:
-                from commet_tpu.core import stream as _stream
-                collect.append(_stream.chunk_index_keys_codes(
-                    codes_dev, self.k))
-            planes = kernels.build_chunk(planes, codes_dev, self.k)
-        self._finish_index_keys(collect)
+            planes = kernels.build_chunk(
+                planes, self._dev(np.asarray(codes, np.int32), "rep"),
+                self.k)
         return planes
 
     def _finish_index_keys(self, collect):
         """Sort the per-batch (keya, keyb) chunks into the partition's
-        sorted index planes (stream probe side input); resets them when
+        StreamIndex (join planes + exact-fallback sets); resets it when
         streaming is off."""
-        if collect is None or not self.stream:
-            self._ika = self._ikb = self._ik_mi = None
+        self._sidx = None
+        self._ika = self._ikb = self._ik_mi = None
+        if collect is None or not self.stream or not collect:
             return
         from commet_tpu.core import stream as _stream
         keys = [c[0] for c in collect]
         keysb = [c[1] for c in collect]
         flags = [c[2] for c in collect]
         counts = [int(c[3]) for c in collect]
-        if not keys:
-            self._ika = self._ikb = self._ik_mi = None
-            return
-        self._ika, self._ikb, self._ik_mi = _stream.finalize_index_keys(
-            keys, keysb, flags, counts)
+        self._sidx = _stream.finalize_index(keys, keysb, flags, counts)
+        self._ika, self._ikb = self._sidx.ika, self._sidx.ikb
+        self._ik_mi = self._sidx.mi
 
     def search_set(self, planes, enc: EncodedSet, idx: np.ndarray):
         """Classify reads ``idx``; returns bool tags [len(idx)].
@@ -468,9 +473,62 @@ class Engine:
                 tagged = search_fn(planes, jnp.asarray(codes, jnp.int32))
                 tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
             return tags
+        if planes is None:  # stream-serving partition (no bit planes)
+            return self._search_stream_only(enc, idx)
         if self.cascade:
             return self._search_cascade(planes, enc, idx)
         return self._search_full(planes, enc, idx)
+
+    def _search_stream_only(self, enc: EncodedSet, idx: np.ndarray):
+        """Planeless classification: streamed sorted-join verdicts for
+        every batch (dirty batches ship the validity plane), then the rare
+        AMBIG residue resolves through the exact sorted-set probe
+        (stream.probe_exact_sets) -- bit-identical to the plane probe."""
+        from commet_tpu.core import stream as _stream
+        tags = np.zeros(len(idx), dtype=bool)
+        if self._sidx is None:  # empty index partition: nothing can match
+            return tags
+        lengths = enc.read_lengths(idx)
+        lmax = int(lengths.max(initial=1))
+        lpad = _pad_length(lmax, self.k)
+        wmax = max(1, lmax - self.k + 1)
+        sx = self._sidx
+        mi_host = int(sx.mi)
+        size = max(_bucket_size(len(idx), self.stream_batch), 2048)
+        jchunk = _stream.pick_chunk(size * 2 * wmax, mi_host)
+        pending = []  # (slice, device verdict) -- sync after dispatching
+        for start in range(0, len(idx), size):
+            chunk_rows = idx[start : start + size]
+            c2, vd, ln, clean = enc.gather_packed(chunk_rows, lpad, size)
+            sl = slice(start, start + len(chunk_rows))
+            if clean:
+                verdict = _stream.probe_cascade2_stream(
+                    sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(ln),
+                    lpad, self.k, self.t, wmax, jchunk,
+                    interpret=self._stream_interpret)
+            else:
+                verdict = _stream.probe_cascade2_stream_packed(
+                    sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(vd),
+                    lpad, self.k, self.t, wmax, jchunk,
+                    interpret=self._stream_interpret)
+            pending.append((sl, verdict))
+        amb_parts = []
+        for sl, verdict in pending:
+            got = np.asarray(verdict)[: sl.stop - sl.start]
+            tags[sl] = got == kernels.VERDICT_TAGGED
+            amb_parts.append(np.arange(sl.start, sl.stop)[
+                got == kernels.VERDICT_AMBIG])
+        amb = (np.concatenate(amb_parts) if amb_parts
+               else np.zeros(0, dtype=np.int64))
+        for start in range(0, len(amb), self.batch):
+            rows = amb[start : start + self.batch]
+            bsize = _bucket_size(len(rows), self.batch)
+            c2, vd, _ln, _cl = enc.gather_packed(idx[rows], lpad, bsize)
+            got = _stream.probe_exact_sets(
+                sx.sa, sx.sb, sx.sc, sx.sd, sx.mi, self._dev(c2),
+                self._dev(vd), lpad, self.k, self.t, wmax)
+            tags[rows] = np.asarray(got)[: len(rows)]
+        return tags
 
     def _search_full(self, planes, enc: EncodedSet, idx: np.ndarray):
         """Exact full probe: forward strand over everything, then the
@@ -527,45 +585,12 @@ class Engine:
         if self._verify_v < 16:
             rounds.append(16)
         amb = np.arange(len(idx))
-        first_round = True
         for v in rounds:
             if not len(amb):
                 return tags
             rows = idx[amb]
             pending = []  # (slice, device verdict) — sync after dispatching
-            use_stream = (first_round and self.stream
-                          and self._ika is not None
-                          and (self._stream_forced
-                               or int(self._ik_mi) / float(2 ** self.k)
-                               <= self.stream_max_fill))
-            first_round = False
-            if use_stream:
-                from commet_tpu.core import stream as _stream
-                size = max(_bucket_size(len(rows), self.stream_batch),
-                           2048)
-                mi_host = None
-                for start in range(0, len(rows), size):
-                    chunk_rows = rows[start : start + size]
-                    c2, vd, ln, clean = enc.gather_packed(
-                        chunk_rows, lpad, size)
-                    sl = slice(start, start + len(chunk_rows))
-                    if not clean:
-                        # rare dirty batch: gather cascade decides it
-                        verdict = kernels.probe_cascade2_packed(
-                            planes, self._dev(c2), self._dev(vd), lpad,
-                            self.k, self.t, v, wmax)
-                        pending.append((sl, verdict))
-                        continue
-                    if mi_host is None:
-                        mi_host = int(self._ik_mi)
-                    jchunk = _stream.pick_chunk(
-                        size * 2 * wmax, mi_host)
-                    verdict = _stream.probe_cascade2_stream(
-                        self._ika, self._ikb, self._ik_mi, self._dev(c2),
-                        self._dev(ln), lpad, self.k, self.t, wmax,
-                        jchunk, interpret=self._stream_interpret)
-                    pending.append((sl, verdict))
-            elif on_cpu:
+            if on_cpu:
                 for sl, codes in self._batched_codes(enc, rows, lpad=lpad,
                                                      bucket=True):
                     pending.append((sl, kernels.probe_cascade2(
@@ -640,9 +665,17 @@ class Engine:
             # positions to keep the AMBIG fallback rate low
             fill = float(kcounts[part].sum()) / float(2 ** self.k)
             self._verify_v = 4 if fill < 0.02 else (12 if fill < 0.15 else 24)
+            # stream-serving partitions skip the bit planes entirely: the
+            # StreamIndex (sorted join planes + exact-fallback sets) is the
+            # whole membership structure (decided from the fill upper
+            # bound, known before building)
+            self._stream_serving = (
+                self.stream and self.mesh is None
+                and (self._stream_forced or fill <= self.stream_max_fill))
             t0 = time.time()
             planes = self.build_planes(None, enc_index, elig[part])
-            jax.block_until_ready(planes)
+            jax.block_until_ready(planes if planes is not None
+                                  else self._ika)
             index_time += time.time() - t0
             nb_indexed += len(part)
             for qi, (q, enc_q) in enumerate(zip(query_sets, enc_queries)):

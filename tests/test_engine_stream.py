@@ -83,6 +83,27 @@ def test_engine_forced_stream_matches_gather(tmp_path, monkeypatch):
     np.testing.assert_array_equal(got_bv, want_bv)
 
 
+def test_stream_mode_builds_no_planes(tmp_path, monkeypatch):
+    """Stream-serving partitions must never touch the bit planes: poison
+    every plane-building entry point and run the full engine flow."""
+    from commet_tpu.core import kernels
+
+    def boom(*a, **k):
+        raise AssertionError("bit planes built in stream mode")
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    monkeypatch.setattr(kernels, "alloc_planes", boom)
+    monkeypatch.setattr(kernels, "build_chunk", boom)
+    monkeypatch.setattr(kernels, "build_chunk_packed", boom)
+
+    rng = np.random.default_rng(31)
+    rs_i, rs_q = make_sets(tmp_path, rng)
+    eng = Engine(k=K, t=T, batch=2048)
+    got = eng.index_and_search(rs_i, [rs_q], save=False)
+    assert got["Q"]["shared"] > 0
+
+
 def test_three_pass_forced_stream_matches(tmp_path, monkeypatch):
     """compare_reads (the 3-pass refinement with apply_bv narrowing between
     passes) must produce identical .bv bytes with the stream forced on."""

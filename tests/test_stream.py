@@ -145,6 +145,38 @@ def test_stream_cascade_matches_oracle(k, t):
     assert amb.mean() < 0.5
 
 
+@pytest.mark.parametrize("k", [15, 31, 32])
+def test_probe_exact_sets_matches_plane_probe(k):
+    """probe_exact_sets (sorted-set membership of all four derived keys,
+    the planeless fallback) must equal the full 4-plane gather probe."""
+    t = 2
+    rng = np.random.default_rng(808 + k)
+    idx_seqs = random_seqs(rng, 30, k, 3 * k + 10)
+    qry_seqs = random_seqs(rng, 80, k - 2, 3 * k + 10)
+    implant(rng, idx_seqs, qry_seqs, k)
+    lpad = max(max(len(s) for s in qry_seqs), k)
+    idx_codes = encode(idx_seqs, max(max(len(s) for s in idx_seqs), k))
+
+    planes = kernels.alloc_planes(k)
+    planes = kernels.build_chunk(planes, jnp.asarray(idx_codes), k)
+    ka, kb, flags, cnt = stream.chunk_index_keys_codes(
+        jnp.asarray(idx_codes), k)
+    sx = stream.finalize_index([ka], [kb], [flags], [int(cnt)], ki=2)
+
+    qcodes = encode(qry_seqs, lpad).astype(np.uint8)
+    c2, vd = kernels.pack_codes_np(qcodes)
+    for tt in (1, 2):
+        got = np.asarray(stream.probe_exact_sets(
+            sx.sa, sx.sb, sx.sc, sx.sd, sx.mi, jnp.asarray(c2),
+            jnp.asarray(vd), lpad, k, tt))
+        want, _ = kernels.search_batch(planes,
+                                       jnp.asarray(qcodes, jnp.int32),
+                                       k, tt)
+        np.testing.assert_array_equal(got, np.asarray(want))
+        if tt == 1:  # single implanted k-mers: must tag at t=1
+            assert got.any()
+
+
 def test_finalize_index_keys_sentinel_ties():
     """A real keya equal to 0xFFFFFFFF must stay inside the valid prefix."""
     keys = jnp.asarray([5, 0xFFFFFFFF, 7], dtype=jnp.uint32)
