@@ -319,7 +319,7 @@ def bench_k33(rng):
 
     from commet_tpu.core import kernels
 
-    K33, N_IDX, N_QRY = 33, 20_000, 32_768
+    K33, N_IDX, N_QRY = 33, 50_000, 65_536
     lpad = -(-READ_LEN // 32) * 32
     idx = rng.integers(0, 4, size=(N_IDX, READ_LEN), dtype=np.int8)
     qry = rng.integers(0, 4, size=(N_QRY, READ_LEN), dtype=np.int8)

@@ -198,10 +198,10 @@ class Engine:
             cascade = os.environ.get("COMMET_TPU_CASCADE", "1") != "0"
         self.cascade = cascade
         self._verify_v = 4  # per-partition, set from the index fill estimate
-        # sorted-set join streaming (core/stream.py): plane-A membership via
-        # sort + sequential index streaming instead of random gathers.
-        # Single-chip only (the DP/plane mesh paths shard the gather
-        # kernels); k <= 32 (32-bit key sort domain). Default: on for TPU;
+        # sorted-set join streaming (core/stream.py): membership via sort +
+        # sequential index streaming instead of random gathers. Single-chip
+        # and DP-mesh (batch-sharded) modes; k <= 32 (32-bit key sort
+        # domain). Default: on for TPU;
         # COMMET_TPU_STREAM=0 disables, =force enables even on CPU (Pallas
         # interpret mode - used by tests/CI to exercise the integration).
         # Before first use the engine runs a tiny compiled self-check and
@@ -211,8 +211,9 @@ class Engine:
         on_cpu = jax.devices()[0].platform == "cpu"
         self._stream_interpret = on_cpu
         self._stream_forced = stream_env == "force"
-        self.stream = (stream_env != "0" and mesh is None and k <= 32
-                       and (not on_cpu or self._stream_forced))
+        self._stream_env_on = (stream_env != "0" and k <= 32
+                               and (not on_cpu or self._stream_forced))
+        self.stream = self._stream_env_on and mesh is None  # may widen below
         self.stream_batch = int(os.environ.get("COMMET_TPU_STREAM_BATCH",
                                                "65536"))
         if self.stream and not _stream_selfcheck(self._stream_interpret):
@@ -221,6 +222,7 @@ class Engine:
         self._ik_mi = None
         self._sidx = None
         self._stream_serving = False  # set per partition from the fill
+        self._stream_dp_fns = {}
         # CAND-flood guard: when the index fill (valid k-mers / 2^k) is
         # high, most windows are keya collisions and the streamed verdicts
         # degenerate to AMBIG; the gather cascade is the right tool there
@@ -246,6 +248,10 @@ class Engine:
             if self.mesh_mode == "dp":
                 self._rep_sharding, self._batch_sharding = \
                     sharded.dp_shardings(mesh)
+                # DP mode also serves the stream probe: index replicated,
+                # batch sharded, every chip streams its shard
+                self.stream = (self._stream_env_on
+                               and _stream_selfcheck(self._stream_interpret))
             else:
                 self._sharded_fns = sharded.build_search_step(mesh, k, t)
 
@@ -455,6 +461,10 @@ class Engine:
         flags = [c[2] for c in collect]
         counts = [int(c[3]) for c in collect]
         self._sidx = _stream.finalize_index(keys, keysb, flags, counts)
+        if self._rep_sharding is not None:
+            for name in ("ika", "ikb", "mi", "sa", "sb", "sc", "sd"):
+                setattr(self._sidx, name, jax.device_put(
+                    getattr(self._sidx, name), self._rep_sharding))
         self._ika, self._ikb = self._sidx.ika, self._sidx.ikb
         self._ik_mi = self._sidx.mi
 
@@ -494,14 +504,38 @@ class Engine:
         wmax = max(1, lmax - self.k + 1)
         sx = self._sidx
         mi_host = int(sx.mi)
-        size = max(_bucket_size(len(idx), self.stream_batch), 2048)
+        size = max(_bucket_size(len(idx), self.stream_batch, self.mesh),
+                   2048)
         jchunk = _stream.pick_chunk(size * 2 * wmax, mi_host)
+        dp = self.mesh is not None  # DP mesh: per-chip shard streaming
+        if dp:
+            ndev = self.mesh.devices.size
+            jchunk = _stream.pick_chunk(size // ndev * 2 * wmax, mi_host)
+            key = (lpad, wmax, jchunk)
+            if key not in self._stream_dp_fns:
+                self._stream_dp_fns[key] = (
+                    self._sharded.stream_search_step(
+                        self.mesh, lpad, self.k, self.t, wmax, jchunk,
+                        interpret=self._stream_interpret),
+                    self._sharded.stream_exact_step(
+                        self.mesh, lpad, self.k, self.t, wmax))
+            dp_stream, dp_exact = self._stream_dp_fns[key]
         pending = []  # (slice, device verdict) -- sync after dispatching
         for start in range(0, len(idx), size):
             chunk_rows = idx[start : start + size]
             c2, vd, ln, clean = enc.gather_packed(chunk_rows, lpad, size)
             sl = slice(start, start + len(chunk_rows))
-            if clean:
+            if dp:
+                if clean:
+                    verdict = dp_stream(sx.ika, sx.ikb, sx.mi,
+                                        self._dev(c2), self._dev(ln))
+                else:
+                    got = dp_exact(sx.sa, sx.sb, sx.sc, sx.sd, sx.mi,
+                                   self._dev(c2), self._dev(vd))
+                    verdict = jnp.where(
+                        got, jnp.int8(kernels.VERDICT_TAGGED),
+                        jnp.int8(kernels.VERDICT_UNTAGGED))
+            elif clean:
                 verdict = _stream.probe_cascade2_stream(
                     sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(ln),
                     lpad, self.k, self.t, wmax, jchunk,
@@ -522,11 +556,15 @@ class Engine:
                else np.zeros(0, dtype=np.int64))
         for start in range(0, len(amb), self.batch):
             rows = amb[start : start + self.batch]
-            bsize = _bucket_size(len(rows), self.batch)
+            bsize = _bucket_size(len(rows), self.batch, self.mesh)
             c2, vd, _ln, _cl = enc.gather_packed(idx[rows], lpad, bsize)
-            got = _stream.probe_exact_sets(
-                sx.sa, sx.sb, sx.sc, sx.sd, sx.mi, self._dev(c2),
-                self._dev(vd), lpad, self.k, self.t, wmax)
+            if dp:
+                got = dp_exact(sx.sa, sx.sb, sx.sc, sx.sd, sx.mi,
+                               self._dev(c2), self._dev(vd))
+            else:
+                got = _stream.probe_exact_sets(
+                    sx.sa, sx.sb, sx.sc, sx.sd, sx.mi, self._dev(c2),
+                    self._dev(vd), lpad, self.k, self.t, wmax)
             tags[rows] = np.asarray(got)[: len(rows)]
         return tags
 
@@ -670,7 +708,8 @@ class Engine:
             # whole membership structure (decided from the fill upper
             # bound, known before building)
             self._stream_serving = (
-                self.stream and self.mesh is None
+                self.stream
+                and (self.mesh is None or self.mesh_mode == "dp")
                 and (self._stream_forced or fill <= self.stream_max_fill))
             t0 = time.time()
             planes = self.build_planes(None, enc_index, elig[part])

@@ -152,6 +152,47 @@ def build_search_step(mesh: Mesh, k: int, t: int):
     return build_fn, search_fn
 
 
+def stream_search_step(mesh: Mesh, length: int, k: int, t: int, wmax: int,
+                       chunk: int, ki: int = 8, interpret: bool = False):
+    """Data-parallel sorted-join stream probe over the mesh: the
+    StreamIndex (sorted join planes) replicates, the read batch shards on
+    the read axis, and every chip runs the full single-chip stream
+    pipeline (sort + banded join + unsort + greedy) on its shard — no
+    collectives on the hot path, verdicts come back batch-sharded. This
+    scales the modern (gather-free) probe linearly with chips, like DP
+    mode does for the gather cascade."""
+    from commet_tpu.core import stream as stream_mod
+
+    fn = functools.partial(stream_mod.probe_cascade2_stream,
+                           length=length, k=k, t=t, wmax=wmax, chunk=chunk,
+                           ki=ki, interpret=interpret)
+
+    def _search(ika, ikb, mi, c2, ln):
+        return fn(ika, ikb, mi, c2, ln)
+
+    # check_vma=False: pallas_call's out_shape carries no vma annotation
+    return jax.jit(shard_map(
+        _search, mesh=mesh,
+        in_specs=(P(), P(), P(), P("d", None), P("d")),
+        out_specs=P("d"), check_vma=False))
+
+
+def stream_exact_step(mesh: Mesh, length: int, k: int, t: int, wmax: int):
+    """DP wrapper for the exact sorted-set fallback probe."""
+    from commet_tpu.core import stream as stream_mod
+
+    fn = functools.partial(stream_mod.probe_exact_sets,
+                           length=length, k=k, t=t, wmax=wmax)
+
+    def _search(sa, sb, sc, sd, mi, c2, vd):
+        return fn(sa, sb, sc, sd, mi, c2, vd)
+
+    return jax.jit(shard_map(
+        _search, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P("d", None), P("d", None)),
+        out_specs=P("d"), check_vma=False))
+
+
 @functools.partial(jax.jit, static_argnames=("mesh_axis",))
 def popcount_psum(tags, mesh_axis: str = "d"):
     """Per-shard tag count merged across the mesh (matrix cell merge)."""

@@ -135,6 +135,34 @@ def test_three_pass_forced_stream_matches(tmp_path, monkeypatch):
     assert outs["force"] == outs["0"]
 
 
+def test_dp_mesh_forced_stream_matches(tmp_path, monkeypatch):
+    """DP mesh mode with the stream forced: every chip streams its batch
+    shard against the replicated StreamIndex; tags must equal the
+    single-chip stream engine's byte for byte."""
+    import jax
+
+    from commet_tpu.parallel import sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = sharded.make_mesh(8)
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    rng = np.random.default_rng(19)
+    rs_i, rs_q = make_sets(tmp_path, rng)
+    eng = Engine(k=K, t=T, batch=2048, mesh=mesh, mesh_mode="dp")
+    assert eng.stream
+    got = eng.index_and_search(rs_i, [rs_q], save=False)
+
+    rs_i1, rs_q1 = make_sets(tmp_path, np.random.default_rng(19))
+    eng1 = Engine(k=K, t=T, batch=2048)
+    want = eng1.index_and_search(rs_i1, [rs_q1], save=False)
+    assert got["Q"]["shared"] == want["Q"]["shared"] > 0
+    np.testing.assert_array_equal(np.asarray(rs_q.result_bvs[0].data),
+                                  np.asarray(rs_q1.result_bvs[0].data))
+
+
 def test_poisoned_stream_falls_back(tmp_path, monkeypatch):
     """A stream module that raises must disable itself via the self-check;
     the engine still produces correct results through the gather cascade."""
