@@ -319,7 +319,7 @@ def bench_k33(rng):
 
     from commet_tpu.core import kernels
 
-    K33, N_IDX, N_QRY = 33, 50_000, 65_536
+    K33, N_IDX, N_QRY = 33, 50_000, 131_072
     lpad = -(-READ_LEN // 32) * 32
     idx = rng.integers(0, 4, size=(N_IDX, READ_LEN), dtype=np.int8)
     qry = rng.integers(0, 4, size=(N_QRY, READ_LEN), dtype=np.int8)
@@ -348,9 +348,12 @@ def bench_k33(rng):
         tags = np.zeros(N_QRY, dtype=bool)
         outs = []
         for s in range(0, N_QRY, BATCH):
-            c2, v = upload(qry[s : s + BATCH])
-            outs.append(kernels.probe_cascade2_packed(
-                planes, c2, v, lpad, K33, T, 4, wmax))
+            # clean workload: only the 2-bit code plane + lengths travel
+            c2 = kernels.pack_codes2_np(qry[s : s + BATCH].astype(np.uint8))
+            lens = np.full(len(c2), READ_LEN, dtype=np.int32)
+            outs.append(kernels.probe_cascade2_clean(
+                planes, jnp.asarray(c2), jnp.asarray(lens), lpad, K33, T,
+                4, wmax))
         v8 = np.concatenate([np.asarray(o) for o in outs])
         tags[v8 == kernels.VERDICT_TAGGED] = True
         amb = np.nonzero(v8 == kernels.VERDICT_AMBIG)[0]
