@@ -187,7 +187,11 @@ def main():
         build_time = min(build_time, time.time() - t0)
     log(f"build: {N_INDEX} reads in {build_time:.2f}s (best of 2, "
         f"incl sorted index keys, mi={int(mi)})")
-    jchunk = stream.pick_chunk(N_QUERY * 2 * (READ_LEN - K + 1), int(mi))
+    # stream probe: two half-batches per search so the host pack + upload
+    # of batch 2 overlaps the device pipeline of batch 1 (sorts are ~linear
+    # in batch size at this scale, so splitting costs no sort efficiency)
+    SBATCH = N_QUERY // 2
+    jchunk = stream.pick_chunk(SBATCH * 2 * (READ_LEN - K + 1), int(mi))
 
     # ---------------- search: the engine's cascade flow. Per strand, the
     # fused plane-A-prefilter + targeted-verification kernel decides most
@@ -200,9 +204,6 @@ def main():
                            constant_values=4)
         return chunk
 
-    # stream probe: one mega-batch per call (the two permutation sorts
-    # amortize over batch size; see core/stream.py)
-    SBATCH = N_QUERY
 
     def stream_one(chunk_u8):
         c2, lens = pack_rows(chunk_u8)
