@@ -168,13 +168,13 @@ def main():
         for s in range(0, N_INDEX, BATCH):
             c2, v = upload(index_codes[s : s + BATCH])
             planes = kernels.build_chunk_packed(planes, c2, v, lpad, K)
-            kk, kb, ff, cc = stream.chunk_index_keys(c2, v, lpad, K)
+            kk, kb, _hib, ff, cc = stream.chunk_index_keys(c2, v, lpad, K)
             kcs.append(kk)
             kbs.append(kb)
             fls.append(ff)
             cnts.append(cc)
-        ika, ikb, mi = stream.finalize_index_keys(
-            kcs, kbs, fls, [int(c) for c in cnts])
+        ika, ikb, _ihib, mi = stream.finalize_index_keys(
+            kcs, kbs, None, fls, [int(c) for c in cnts])
         return planes, ika, ikb, mi
 
     build_time = 9e9
@@ -338,29 +338,43 @@ def bench_k33(rng):
         c2, v = kernels.pack_codes_np(arr.astype(np.uint8))
         return jnp.asarray(c2), jnp.asarray(v)
 
+    from commet_tpu.core import stream
+
     wmax = READ_LEN - K33 + 1
     planes = kernels.alloc_planes(K33)
+    kcs, kbs, khs, fls, cnts = [], [], [], [], []
     for s in range(0, N_IDX, BATCH):
         c2, v = upload(idx[s : s + BATCH])
         planes = kernels.build_chunk_packed(planes, c2, v, lpad, K33)
+        kk, kb, kh, ff, cc = stream.chunk_index_keys(c2, v, lpad, K33)
+        kcs.append(kk)
+        kbs.append(kb)
+        khs.append(kh)
+        fls.append(ff)
+        cnts.append(cc)
+    ika, ikb, ihib, mi33 = stream.finalize_index_keys(
+        kcs, kbs, khs, fls, [int(c) for c in cnts], wide=True)
     np.asarray(planes[:1])
+    sbatch = N_QRY // 2
+    jchunk = stream.pick_chunk(sbatch * 2 * wmax, int(mi33))
 
     def search_once():
+        # wide-key (hi bits in side streams) sorted-join probe, the
+        # default-k modern path; AMBIG residue through the gather cascade
         tags = np.zeros(N_QRY, dtype=bool)
         outs = []
-        for s in range(0, N_QRY, BATCH):
-            # clean workload: only the 2-bit code plane + lengths travel
-            c2 = kernels.pack_codes2_np(qry[s : s + BATCH].astype(np.uint8))
+        for s in range(0, N_QRY, sbatch):
+            c2 = kernels.pack_codes2_np(qry[s : s + sbatch].astype(np.uint8))
             lens = np.full(len(c2), READ_LEN, dtype=np.int32)
-            outs.append(kernels.probe_cascade2_clean(
-                planes, jnp.asarray(c2), jnp.asarray(lens), lpad, K33, T,
-                4, wmax))
+            outs.append(stream.probe_cascade2_stream(
+                ika, ikb, mi33, jnp.asarray(c2), jnp.asarray(lens), lpad,
+                K33, T, wmax, jchunk, ihib=ihib))
         v8 = np.concatenate([np.asarray(o) for o in outs])
         tags[v8 == kernels.VERDICT_TAGGED] = True
         amb = np.nonzero(v8 == kernels.VERDICT_AMBIG)[0]
         rem = amb
         for kern in (kernels.search_batch_fwd_packed,
-                     kernels.search_batch_rc_packed):
+                     kernels.search_batch_rc_packed):  # exact plane probe
             if not len(rem):
                 break
             size = min(BATCH, max(2048, 1 << (len(rem) - 1).bit_length()))

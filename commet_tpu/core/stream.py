@@ -60,20 +60,29 @@ def _round_up(x: int, m: int) -> int:
 # The banded join kernel
 # --------------------------------------------------------------------------
 
-def _join_kernel(mi_ref, ih_ref, q_ref, qb_ref, w0a_ref, w1a_ref,
-                 w0b_ref, w1b_ref, out_ref, acc_ref, *, ki: int):
+def _join_kernel(mi_ref, ih_ref, *refs, ki: int, wide: bool):
     """One grid step: verdicts for CHUNK sorted query (keya, keyb) pairs
-    against a 2*ki x 128 window of the index sorted by keya (rows
-    ih*ki .. ih*ki+2ki-1 of the a/b planes).
+    against a 2*ki x 128 window of the index sorted by keya's LOW word
+    (rows ih*ki .. ih*ki+2ki-1 of the a/b planes).
 
-    Bracketing invariant (why NONMEM is exact): the flattened a-plane is
-    globally ascending with all valid entries in the prefix [0, mi). If
-    wmin <= qa <= wmax (masked min/max of the window) then any occurrence
-    of qa outside the window forces an equal value at the window edge,
-    i.e. qa also occurs inside -- so in-window equality decides global
-    keya membership. ih == 0 / covers_end extend coverage to the ends.
-    CONF (pair equality) is sound unconditionally: a match is a match.
+    Bracketing invariant (why NONMEM is exact): the flattened a_lo plane
+    is globally ascending with all valid entries in the prefix [0, mi). If
+    wmin <= qa_lo <= wmax (masked min/max of the window) then any entry
+    with an equal a_lo outside the window forces an equal value at the
+    window edge, i.e. every a_lo-candidate is inside the window -- so
+    in-window (full-key) equality decides global membership even for
+    k > 32, where the high key bits ride in packed side streams
+    (``wide``: hib = a_hi << 8 | b_hi, <= 2 bits each for k <= 34).
+    ih == 0 / covers_end extend coverage to the ends. CONF (pair
+    equality) is sound unconditionally: a match is a match.
     """
+    if wide:
+        (q_ref, qb_ref, qh_ref, w0a_ref, w1a_ref, w0b_ref, w1b_ref,
+         w0h_ref, w1h_ref, out_ref, acc_ref) = refs
+    else:
+        (q_ref, qb_ref, w0a_ref, w1a_ref, w0b_ref, w1b_ref,
+         out_ref, acc_ref) = refs
+        qh_ref = w0h_ref = w1h_ref = None
     g = pl.program_id(0)
     mi = mi_ref[0]
     ih = ih_ref[g]
@@ -81,6 +90,7 @@ def _join_kernel(mi_ref, ih_ref, q_ref, qb_ref, w0a_ref, w1a_ref,
 
     qa = q_ref[0]   # [1, C] uint32, ascending
     qb = qb_ref[0]  # [1, C] uint32, aligned payload
+    qh = qh_ref[0] if wide else None  # [1, C] packed hi bits
     c = qa.shape[1]
     g2 = c // 128
     # order-preserving signed view (Mosaic has no unsigned reductions)
@@ -118,8 +128,9 @@ def _join_kernel(mi_ref, ih_ref, q_ref, qb_ref, w0a_ref, w1a_ref,
     # banding was measured 5x SLOWER from scalar overhead).
     qlo = (q_ref[0, 0, 0] ^ bias).astype(jnp.int32)
     qhi = (q_ref[0, 0, c - 1] ^ bias).astype(jnp.int32)
-    for half, (refa, refb) in ((0, (w0a_ref, w0b_ref)),
-                               (1, (w1a_ref, w1b_ref))):
+    for half, (refa, refb, refh) in (
+            (0, (w0a_ref, w0b_ref, w0h_ref)),
+            (1, (w1a_ref, w1b_ref, w1h_ref))):
         start0 = base + half * (ki * 128)
         for r in range(ki):
             # rows are sorted: min/max are the edge lanes (scalar loads)
@@ -127,13 +138,18 @@ def _join_kernel(mi_ref, ih_ref, q_ref, qb_ref, w0a_ref, w1a_ref,
             rhi = (refa[r, 127] ^ bias).astype(jnp.int32)
 
             @pl.when((rhi >= qlo) & (rlo <= qhi))
-            def _(refa=refa, refb=refb, r=r, start0=start0):
+            def _(refa=refa, refb=refb, refh=refh, r=r, start0=start0):
                 rowa = (refa[pl.ds(r, 1), :] ^ bias).astype(jnp.int32)
                 rta = rowa.reshape(128, 1)
                 rtb = refb[pl.ds(r, 1), :].reshape(128, 1)
                 vrow = (start0 + r * 128 + lanet) < mi  # [128, 1]
                 eqa = (rta == qs) & vrow  # [128, C]
                 eqc = eqa & (rtb == qb)
+                if wide:
+                    rth = refh[pl.ds(r, 1), :].reshape(128, 1)
+                    eqa = eqa & ((rth >> 8) == (qh >> 8))
+                    eqc = eqc & ((rth >> 8) == (qh >> 8)) \
+                              & ((rth & 0xFF) == (qh & 0xFF))
                 acc_ref[0:1, :] += jnp.sum(
                     jnp.where(eqa, 1, 0), axis=0, keepdims=True)
                 acc_ref[1:2, :] += jnp.sum(
@@ -165,7 +181,8 @@ def _join_kernel(mi_ref, ih_ref, q_ref, qb_ref, w0a_ref, w1a_ref,
 def join_membership(ika: jax.Array, ikb: jax.Array, mi: jax.Array,
                     qa_sorted: jax.Array, qb_sorted: jax.Array,
                     chunk: int = 2048, ki: int = 8,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False, ihib=None,
+                    qh_sorted=None) -> jax.Array:
     """Verdicts for every sorted query pair against the sorted index pairs.
 
     ika/ikb: [Ri, 128] uint32 keya/keyb planes, ascending by keya when
@@ -185,39 +202,44 @@ def join_membership(ika: jax.Array, ikb: jax.Array, mi: jax.Array,
     assert mq % chunk == 0, (mq, chunk)
     g = mq // chunk
 
+    wide = ihib is not None
     firsts = qa_sorted.reshape(g, chunk)[:, 0]
     pos = jnp.searchsorted(ika.reshape(-1), firsts).astype(jnp.int32)
     ih = jnp.clip(pos // (ki * 128), 0, n_half - 2)
 
+    def qspec():
+        return pl.BlockSpec((1, 1, chunk), lambda i, mi_r, ih_r: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(off):
+        return pl.BlockSpec((ki, 128),
+                            lambda i, mi_r, ih_r: (ih_r[i] + off, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [qspec(), qspec()] + ([qspec()] if wide else []) + \
+        [wspec(0), wspec(1), wspec(0), wspec(1)] + \
+        ([wspec(0), wspec(1)] if wide else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 1, chunk), lambda i, mi_r, ih_r: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), lambda i, mi_r, ih_r: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i] + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ki, 128), lambda i, mi_r, ih_r: (ih_r[i] + 1, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, chunk), lambda i, mi_r, ih_r: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, chunk), jnp.int32)],
     )
+    args = [mi.reshape(1).astype(jnp.int32), ih,
+            qa_sorted.reshape(g, 1, chunk), qb_sorted.reshape(g, 1, chunk)]
+    if wide:
+        args.append(qh_sorted.reshape(g, 1, chunk))
+    args += [ika, ika, ikb, ikb]
+    if wide:
+        args += [ihib, ihib]
     out = pl.pallas_call(
-        functools.partial(_join_kernel, ki=ki),
+        functools.partial(_join_kernel, ki=ki, wide=wide),
         out_shape=jax.ShapeDtypeStruct((g, 1, chunk), jnp.int8),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(mi.reshape(1).astype(jnp.int32), ih,
-      qa_sorted.reshape(g, 1, chunk), qb_sorted.reshape(g, 1, chunk),
-      ika, ika, ikb, ikb)
+    )(*args)
     return out.reshape(-1)
 
 
@@ -234,43 +256,51 @@ def pick_chunk(mq: int, mi: int, ki: int = 8) -> int:
 # Index-side helpers: collect sorted (keya, keyb) sets per partition
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("length", "k", "wmax"))
-def chunk_index_keys(codes2, valid, length: int, k: int, wmax=None):
-    """Per-batch forward-strand (keya, keyb) values (uint32) with invalid
-    windows mapped to SENTINEL, plus the count of valid windows. Feeds
-    finalize_index_keys."""
-    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
-    from commet_tpu.core import kernels
-    codes = kernels.unpack_codes(codes2, valid, length)
-    wk = kernels.window_keys(codes, k, "fwd", wmax)
+def _index_chunk_from_wk(wk, k: int):
     ok = wk["ok"]
     keys = jnp.where(ok, wk["fa_lo"], SENTINEL).reshape(-1)
     keysb = jnp.where(ok, wk["fb_lo"], SENTINEL).reshape(-1)
+    if k > 32:  # hi bits (<= 2 each for k <= 34) packed into one stream
+        hib = (wk["fa_hi"] << 8) | wk["fb_hi"]
+        hib = jnp.where(ok, hib, SENTINEL).reshape(-1)
+    else:
+        hib = jnp.zeros_like(keys)
     flags = jnp.where(ok, jnp.uint32(0), jnp.uint32(1)).reshape(-1)
-    return keys, keysb, flags, ok.sum(dtype=jnp.int32)
+    return keys, keysb, hib, flags, ok.sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "k", "wmax"))
+def chunk_index_keys(codes2, valid, length: int, k: int, wmax=None):
+    """Per-batch forward-strand (keya, keyb[, hi-bit]) values (uint32)
+    with invalid windows mapped to SENTINEL, plus the count of valid
+    windows. Feeds finalize_index_keys."""
+    assert k <= 34, f"streaming join supports k <= 34, got {k}"
+    from commet_tpu.core import kernels
+    codes = kernels.unpack_codes(codes2, valid, length)
+    wk = kernels.window_keys(codes, k, "fwd", wmax)
+    return _index_chunk_from_wk(wk, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "wmax"))
 def chunk_index_keys_codes(codes, k: int, wmax=None):
     """chunk_index_keys for plain int32 codes batches (CPU path)."""
-    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
+    assert k <= 34, f"streaming join supports k <= 34, got {k}"
     from commet_tpu.core import kernels
     wk = kernels.window_keys(codes, k, "fwd", wmax)
-    ok = wk["ok"]
-    keys = jnp.where(ok, wk["fa_lo"], SENTINEL).reshape(-1)
-    keysb = jnp.where(ok, wk["fb_lo"], SENTINEL).reshape(-1)
-    flags = jnp.where(ok, jnp.uint32(0), jnp.uint32(1)).reshape(-1)
-    return keys, keysb, flags, ok.sum(dtype=jnp.int32)
+    return _index_chunk_from_wk(wk, k)
 
 
-def finalize_index_keys(key_chunks, keyb_chunks, flag_chunks, counts,
-                        ki: int = 8):
-    """Sort the collected (keya, keyb) chunks into padded [Ri, 128] planes.
+def finalize_index_keys(key_chunks, keyb_chunks, hib_chunks, flag_chunks,
+                        counts, ki: int = 8, wide: bool = False):
+    """Sort the collected (keya, keyb[, hib]) chunks into padded
+    [Ri, 128] planes.
 
-    Sort keys are (keya, flag): valid keys sort before SENTINEL-flagged
+    Sort keys are (keya_lo, flag): valid keys sort before SENTINEL-flagged
     invalid windows even when a *real* keya equals 0xFFFFFFFF, so the
     first ``mi`` flattened entries are exactly the valid multiset. keyb
-    rides as payload (within-run order is irrelevant to the band compare).
+    (and for k > 32 the packed hi bits) ride as payload -- within-run
+    order is irrelevant to the band compare, so sorting by the LOW word
+    alone suffices even for wide keys. Returns (ika, ikb, ihib|None, mi).
     """
     keys = jnp.concatenate(key_chunks)
     keysb = jnp.concatenate(keyb_chunks)
@@ -278,13 +308,18 @@ def finalize_index_keys(key_chunks, keyb_chunks, flag_chunks, counts,
     mi = int(sum(int(c) for c in counts))
     ri = max(4 * ki, _round_up(_round_up(keys.shape[0], 128) // 128, 2 * ki))
     pad = ri * 128 - keys.shape[0]
+    operands = [keys, flags, keysb]
+    if wide:
+        operands.append(jnp.concatenate(hib_chunks))
     if pad:
-        keys = jnp.concatenate([keys, jnp.full((pad,), SENTINEL, jnp.uint32)])
-        keysb = jnp.concatenate([keysb,
-                                 jnp.full((pad,), SENTINEL, jnp.uint32)])
-        flags = jnp.concatenate([flags, jnp.ones((pad,), jnp.uint32)])
-    keys, _, keysb = jax.lax.sort([keys, flags, keysb], num_keys=2)
-    return (keys.reshape(ri, 128), keysb.reshape(ri, 128),
+        operands = [
+            jnp.concatenate([op, jnp.full((pad,), fill, jnp.uint32)])
+            for op, fill in zip(operands,
+                                (SENTINEL, np.uint32(1), SENTINEL,
+                                 SENTINEL))]
+    out = jax.lax.sort(operands, num_keys=2)
+    ihib = out[3].reshape(ri, 128) if wide else None
+    return (out[0].reshape(ri, 128), out[2].reshape(ri, 128), ihib,
             jnp.asarray(mi, jnp.int32))
 
 
@@ -297,10 +332,10 @@ class StreamIndex:
     all four derived keys IS the reference's 4-plane Bloom test --
     fallback verdicts need no bit planes at all."""
 
-    __slots__ = ("ika", "ikb", "mi", "sa", "sb", "sc", "sd")
+    __slots__ = ("ika", "ikb", "ihib", "mi", "sa", "sb", "sc", "sd")
 
-    def __init__(self, ika, ikb, mi, sa, sb, sc, sd):
-        self.ika, self.ikb, self.mi = ika, ikb, mi
+    def __init__(self, ika, ikb, ihib, mi, sa, sb, sc, sd):
+        self.ika, self.ikb, self.ihib, self.mi = ika, ikb, ihib, mi
         self.sa, self.sb, self.sc, self.sd = sa, sb, sc, sd
 
 
@@ -309,11 +344,16 @@ def _sorted_set(vals, flags):
     return v
 
 
-def finalize_index(key_chunks, keyb_chunks, flag_chunks, counts,
-                   ki: int = 8) -> StreamIndex:
-    """finalize_index_keys + the four sorted plane-value sets."""
-    ika, ikb, mi = finalize_index_keys(key_chunks, keyb_chunks, flag_chunks,
-                                       counts, ki)
+def finalize_index(key_chunks, keyb_chunks, hib_chunks, flag_chunks,
+                   counts, ki: int = 8, wide: bool = False) -> StreamIndex:
+    """finalize_index_keys + (for k <= 32) the four sorted plane-value
+    sets. For wide keys (k in 33..34) the exact-fallback sets are skipped
+    (values exceed 32-bit lanes); the caller keeps the bit planes for the
+    fallback instead."""
+    ika, ikb, ihib, mi = finalize_index_keys(
+        key_chunks, keyb_chunks, hib_chunks, flag_chunks, counts, ki, wide)
+    if wide:
+        return StreamIndex(ika, ikb, ihib, mi, None, None, None, None)
     a = jnp.concatenate(key_chunks)
     b = jnp.concatenate(keyb_chunks)
     flags = jnp.concatenate(flag_chunks)
@@ -321,7 +361,7 @@ def finalize_index(key_chunks, keyb_chunks, flag_chunks, counts,
     c = jnp.where(invalid, SENTINEL, a ^ b)
     d = jnp.where(invalid, SENTINEL, a | b)
     sa = ika.reshape(-1)  # already (keya, flag)-sorted
-    return StreamIndex(ika, ikb, mi, sa,
+    return StreamIndex(ika, ikb, None, mi, sa,
                        _sorted_set(b, flags), _sorted_set(c, flags),
                        _sorted_set(d, flags))
 
@@ -367,13 +407,15 @@ def probe_exact_sets(sa, sb, sc, sd, mi, codes2, valid, length: int,
 # --------------------------------------------------------------------------
 
 def _membership_stream(ika, ikb, mi, wk, chunk: int, ki: int,
-                       interpret: bool):
+                       interpret: bool, ihib=None, k: int = 32):
     """Joined verdicts for every (read, strand, window) key pair.
 
     Returns mem [B, 2, W] int8 (NONMEM/CAND/CONF/RESIDUAL) in original
     window order. Two sorts realize the gather-free permutation: key-order
     for the join, then payload-order (= original order) to invert it.
+    For k > 32 the packed hi bits ride as a fourth sort operand.
     """
+    wide = ihib is not None
     ok = wk["ok"]
     b, w = ok.shape
     qa = jnp.where(ok, wk["fa_lo"], 0)
@@ -382,6 +424,13 @@ def _membership_stream(ika, ikb, mi, wk, chunk: int, ki: int,
     rb = jnp.where(ok, wk["rb_lo"], 0)
     q = jnp.stack([qa, ra], axis=1).reshape(-1)   # [(b*2*w)]
     q2 = jnp.stack([qb, rb], axis=1).reshape(-1)
+    operands = [q, q2]
+    if wide:
+        qh = (wk["fa_hi"] << 8) | wk["fb_hi"]
+        rh = (wk["ra_hi"] << 8) | wk["rb_hi"]
+        qh = jnp.where(ok, qh, 0)
+        rh = jnp.where(ok, rh, 0)
+        operands.append(jnp.stack([qh, rh], axis=1).reshape(-1))
     m = b * 2 * w
     mpad = _round_up(m, chunk)
     # the unsort packs the payload as (pay << 2) in uint32: the batch
@@ -392,11 +441,17 @@ def _membership_stream(ika, ikb, mi, wk, chunk: int, ki: int,
         f"> 2^30; reduce the query batch size")
     pay = jnp.arange(mpad, dtype=jnp.uint32)
     if mpad != m:
-        q = jnp.concatenate([q, jnp.full((mpad - m,), SENTINEL, jnp.uint32)])
-        q2 = jnp.concatenate([q2, jnp.full((mpad - m,), SENTINEL,
-                                           jnp.uint32)])
-    sk, skb, pay = jax.lax.sort([q, q2, pay], num_keys=1)
-    mem_s = join_membership(ika, ikb, mi, sk, skb, chunk, ki, interpret)
+        operands = [jnp.concatenate(
+            [op, jnp.full((mpad - m,), SENTINEL, jnp.uint32)])
+            for op in operands]
+    out = jax.lax.sort(operands + [pay], num_keys=1)
+    if wide:
+        sk, skb, skh, pay = out
+        mem_s = join_membership(ika, ikb, mi, sk, skb, chunk, ki,
+                                interpret, ihib=ihib, qh_sorted=skh)
+    else:
+        sk, skb, pay = out
+        mem_s = join_membership(ika, ikb, mi, sk, skb, chunk, ki, interpret)
     packed = (pay << 2) | (mem_s.astype(jnp.uint32) & 3)
     mem = (jnp.sort(packed) & 3)[:m].reshape(b, 2, w).astype(jnp.int8)
     return mem
@@ -425,21 +480,29 @@ def _stream_verdict(wk, mem, k: int, t: int):
                                jnp.int8(kernels.VERDICT_AMBIG)))
 
 
+def _check_wide(k, ihib):
+    assert k <= 34, f"streaming join supports k <= 34, got {k}"
+    assert (ihib is not None) == (k > 32), \
+        "k > 32 requires the packed hi-bit index plane (and k <= 32 must " \
+        "not pass one)"
+
+
 @functools.partial(jax.jit, static_argnames=(
     "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
 def probe_cascade2_stream(ika, ikb, mi, codes2, lengths, length: int,
                           k: int, t: int, wmax=None,
                           chunk: int = 2048, ki: int = 8,
-                          interpret: bool = False):
+                          interpret: bool = False, ihib=None):
     """Fused both-strand streamed probe: exact TAGGED/UNTAGGED verdicts
     from the sorted join alone (no plane gathers); AMBIG rows are the
     caller's exact-fallback residue. Verdict semantics identical to
     kernels.probe_cascade2_clean."""
-    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
+    _check_wide(k, ihib)
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes_clean(codes2, lengths, length)
     wk = kernels.window_keys(codes, k, "both", wmax)
-    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret)
+    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret,
+                             ihib, k)
     return _stream_verdict(wk, mem, k, t)
 
 
@@ -447,12 +510,14 @@ def probe_cascade2_stream(ika, ikb, mi, codes2, lengths, length: int,
     "k", "t", "wmax", "chunk", "ki", "interpret"))
 def probe_cascade2_stream_codes(ika, ikb, mi, codes, k: int, t: int,
                                 wmax=None, chunk: int = 2048,
-                                ki: int = 8, interpret: bool = False):
+                                ki: int = 8, interpret: bool = False,
+                                ihib=None):
     """probe_cascade2_stream for plain int32 code batches (CPU/tests)."""
-    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
+    _check_wide(k, ihib)
     from commet_tpu.core import kernels
     wk = kernels.window_keys(codes, k, "both", wmax)
-    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret)
+    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret,
+                             ihib, k)
     return _stream_verdict(wk, mem, k, t)
 
 
@@ -461,13 +526,14 @@ def probe_cascade2_stream_codes(ika, ikb, mi, codes, k: int, t: int,
 def probe_cascade2_stream_packed(ika, ikb, mi, codes2, valid, length: int,
                                  k: int, t: int, wmax=None,
                                  chunk: int = 2048, ki: int = 8,
-                                 interpret: bool = False):
+                                 interpret: bool = False, ihib=None):
     """probe_cascade2_stream for dirty batches (reads with non-ACGT bases
     ship the full 1-bit validity plane; window_keys resets runs exactly
     like the reference's hash.clear())."""
-    assert k <= 32, f"streaming join keys on 32-bit lanes only: k={k} > 32"
+    _check_wide(k, ihib)
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes(codes2, valid, length)
     wk = kernels.window_keys(codes, k, "both", wmax)
-    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret)
+    mem = _membership_stream(ika, ikb, mi, wk, chunk, ki, interpret,
+                             ihib, k)
     return _stream_verdict(wk, mem, k, t)

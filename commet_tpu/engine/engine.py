@@ -40,38 +40,53 @@ LENGTH_BUCKET = 32
 _STREAM_SELFCHECK: Dict[bool, bool] = {}
 
 
-def _stream_selfcheck(interpret: bool) -> bool:
+def _stream_selfcheck(interpret: bool, wide: bool = False) -> bool:
     """One-time (per process) sanity run of the sorted-join membership
     kernel on a tiny synthetic set. Any exception or wrong verdict disables
     the stream path for every Engine in this process - the gather cascade
     is always a safe, bit-exact fallback (VERDICT r2: never ship a crashing
-    default again)."""
-    if interpret in _STREAM_SELFCHECK:
-        return _STREAM_SELFCHECK[interpret]
+    default again). ``wide`` also exercises the k > 32 hi-bit streams."""
+    key = (interpret, wide)
+    if key in _STREAM_SELFCHECK:
+        return _STREAM_SELFCHECK[key]
     ok = False
     try:
         from commet_tpu.core import stream as _stream
         keys = jnp.arange(0, 1024, 2, dtype=jnp.uint32)  # evens 0..2046
         keysb = keys ^ jnp.uint32(1)
+        # wide: entries alternate hi-bit patterns; a query matches only
+        # when its (lo, hi) pair matches
+        hib = (keys >> 1) & jnp.uint32(0x0101)
         flags = jnp.zeros_like(keys)
-        ika, ikb, mi = _stream.finalize_index_keys(
-            [keys], [keysb], [flags], [keys.shape[0]], ki=8)
+        ika, ikb, ihib, mi = _stream.finalize_index_keys(
+            [keys], [keysb], [hib], [flags], [keys.shape[0]], ki=8,
+            wide=wide)
         qa = jnp.arange(512, dtype=jnp.uint32)  # 0..511 sorted
         qb = qa ^ jnp.uint32(1)
-        got = np.asarray(_stream.join_membership(ika, ikb, mi, qa, qb,
-                                                 chunk=512, ki=8,
-                                                 interpret=interpret))
+        qh = (qa >> 1) & jnp.uint32(0x0101)
+        got = np.asarray(_stream.join_membership(
+            ika, ikb, mi, qa, qb, chunk=512, ki=8, interpret=interpret,
+            ihib=ihib if wide else None,
+            qh_sorted=qh if wide else None))
         # evens: exact pair present -> CONF; odds: keya absent -> NONMEM
         even = np.arange(512) % 2 == 0
         want = np.where(even, _stream.CONF, _stream.NONMEM).astype(np.int8)
         decided = got != _stream.RESIDUAL
         ok = bool(decided.any()) and bool((got[decided] == want[decided]).all())
+        if ok and wide:
+            # hi mismatch must kill both CONF and the keya hit
+            got2 = np.asarray(_stream.join_membership(
+                ika, ikb, mi, qa, qb, chunk=512, ki=8,
+                interpret=interpret, ihib=ihib,
+                qh_sorted=qh ^ jnp.uint32(0x0100)))
+            dec2 = got2 != _stream.RESIDUAL
+            ok = bool((got2[dec2] == _stream.NONMEM).all())
     except Exception as exc:  # noqa: BLE001 - any failure means fallback
         import sys
         print(f"commet_tpu: stream probe self-check failed ({exc!r}); "
               "falling back to the gather cascade", file=sys.stderr)
         ok = False
-    _STREAM_SELFCHECK[interpret] = ok
+    _STREAM_SELFCHECK[key] = ok
     return ok
 
 
@@ -211,12 +226,13 @@ class Engine:
         on_cpu = jax.devices()[0].platform == "cpu"
         self._stream_interpret = on_cpu
         self._stream_forced = stream_env == "force"
-        self._stream_env_on = (stream_env != "0" and k <= 32
+        self._stream_env_on = (stream_env != "0" and k <= 34
                                and (not on_cpu or self._stream_forced))
         self.stream = self._stream_env_on and mesh is None  # may widen below
         self.stream_batch = int(os.environ.get("COMMET_TPU_STREAM_BATCH",
                                                "65536"))
-        if self.stream and not _stream_selfcheck(self._stream_interpret):
+        if self.stream and not _stream_selfcheck(self._stream_interpret,
+                                                 wide=k > 32):
             self.stream = False
         self._ika = self._ikb = None
         self._ik_mi = None
@@ -249,8 +265,9 @@ class Engine:
                 self._rep_sharding, self._batch_sharding = \
                     sharded.dp_shardings(mesh)
                 # DP mode also serves the stream probe: index replicated,
-                # batch sharded, every chip streams its shard
-                self.stream = (self._stream_env_on
+                # batch sharded, every chip streams its shard (k <= 32:
+                # the sharded wrappers carry no hi-bit streams)
+                self.stream = (k <= 32 and self._stream_env_on
                                and _stream_selfcheck(self._stream_interpret))
             else:
                 self._sharded_fns = sharded.build_search_step(mesh, k, t)
@@ -411,8 +428,13 @@ class Engine:
                         self._dev(c2, "rep"), self._dev(vd, "rep"),
                         lpad, self.k))
             self._finish_index_keys(collect)
-            return None
-        self._finish_index_keys(None)
+            if self.k <= 32:
+                return None  # planeless: the StreamIndex is everything
+            # k in 33..34: the streamed probe serves round 1 but the
+            # exact fallback still probes the bit planes (33-bit values
+            # exceed the 32-bit sorted-set lanes) -- build them too
+        else:
+            self._finish_index_keys(None)
         if jax.devices()[0].platform != "cpu":
             # packed transport: the tunneled uplink is the bottleneck
             if planes is None:
@@ -458,13 +480,18 @@ class Engine:
         from commet_tpu.core import stream as _stream
         keys = [c[0] for c in collect]
         keysb = [c[1] for c in collect]
-        flags = [c[2] for c in collect]
-        counts = [int(c[3]) for c in collect]
-        self._sidx = _stream.finalize_index(keys, keysb, flags, counts)
+        hibs = [c[2] for c in collect]
+        flags = [c[3] for c in collect]
+        counts = [int(c[4]) for c in collect]
+        self._sidx = _stream.finalize_index(keys, keysb, hibs, flags,
+                                            counts, wide=self.k > 32)
         if self._rep_sharding is not None:
-            for name in ("ika", "ikb", "mi", "sa", "sb", "sc", "sd"):
-                setattr(self._sidx, name, jax.device_put(
-                    getattr(self._sidx, name), self._rep_sharding))
+            for name in ("ika", "ikb", "ihib", "mi", "sa", "sb", "sc",
+                         "sd"):
+                val = getattr(self._sidx, name)
+                if val is not None:
+                    setattr(self._sidx, name,
+                            jax.device_put(val, self._rep_sharding))
         self._ika, self._ikb = self._sidx.ika, self._sidx.ikb
         self._ik_mi = self._sidx.mi
 
@@ -483,17 +510,22 @@ class Engine:
                 tagged = search_fn(planes, jnp.asarray(codes, jnp.int32))
                 tags[sl] = np.asarray(tagged)[: sl.stop - sl.start]
             return tags
-        if planes is None:  # stream-serving partition (no bit planes)
-            return self._search_stream_only(enc, idx)
+        if self._stream_serving and (planes is None
+                                     or self._sidx is not None):
+            # stream-serving partition (planes present only for k > 32,
+            # where they back the exact fallback)
+            return self._search_stream_only(enc, idx, planes)
         if self.cascade:
             return self._search_cascade(planes, enc, idx)
         return self._search_full(planes, enc, idx)
 
-    def _search_stream_only(self, enc: EncodedSet, idx: np.ndarray):
-        """Planeless classification: streamed sorted-join verdicts for
-        every batch (dirty batches ship the validity plane), then the rare
-        AMBIG residue resolves through the exact sorted-set probe
-        (stream.probe_exact_sets) -- bit-identical to the plane probe."""
+    def _search_stream_only(self, enc: EncodedSet, idx: np.ndarray,
+                            planes=None):
+        """Streamed classification: sorted-join verdicts for every batch
+        (dirty batches ship the validity plane), then the rare AMBIG
+        residue resolves through the exact sorted-set probe (k <= 32,
+        planeless) or the full plane probe (k > 32) -- bit-identical
+        to the reference either way."""
         from commet_tpu.core import stream as _stream
         tags = np.zeros(len(idx), dtype=bool)
         if self._sidx is None:  # empty index partition: nothing can match
@@ -539,12 +571,12 @@ class Engine:
                 verdict = _stream.probe_cascade2_stream(
                     sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(ln),
                     lpad, self.k, self.t, wmax, jchunk,
-                    interpret=self._stream_interpret)
+                    interpret=self._stream_interpret, ihib=sx.ihib)
             else:
                 verdict = _stream.probe_cascade2_stream_packed(
                     sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(vd),
                     lpad, self.k, self.t, wmax, jchunk,
-                    interpret=self._stream_interpret)
+                    interpret=self._stream_interpret, ihib=sx.ihib)
             pending.append((sl, verdict))
         amb_parts = []
         for sl, verdict in pending:
@@ -554,6 +586,10 @@ class Engine:
                 got == kernels.VERDICT_AMBIG])
         amb = (np.concatenate(amb_parts) if amb_parts
                else np.zeros(0, dtype=np.int64))
+        if len(amb) and sx.sa is None:
+            # wide keys (k > 32): the exact fallback probes the bit planes
+            tags[amb] = self._search_full(planes, enc, idx[amb])
+            return tags
         for start in range(0, len(amb), self.batch):
             rows = amb[start : start + self.batch]
             bsize = _bucket_size(len(rows), self.batch, self.mesh)

@@ -16,17 +16,17 @@ K = 15
 T = 2
 
 
-def write_fasta(path, rng, n, length, donors=None):
+def write_fasta(path, rng, n, length, donors=None, k=K):
     """Random fasta; when ``donors`` is given, implant a 2k fragment from a
     donor read into every other read (tagged at t=2)."""
     seqs = [bytes(rng.choice(BASES, size=length)) for _ in range(n)]
     if donors is not None:
         for i in range(0, n, 2):
             d = donors[int(rng.integers(len(donors)))]
-            start = int(rng.integers(0, len(d) - 2 * K + 1))
-            frag = d[start : start + 2 * K]
-            pos = int(rng.integers(0, length - 2 * K + 1))
-            seqs[i] = seqs[i][:pos] + frag + seqs[i][pos + 2 * K :]
+            start = int(rng.integers(0, len(d) - 2 * k + 1))
+            frag = d[start : start + 2 * k]
+            pos = int(rng.integers(0, length - 2 * k + 1))
+            seqs[i] = seqs[i][:pos] + frag + seqs[i][pos + 2 * k :]
     with open(path, "wb") as f:
         for i, s in enumerate(seqs):
             f.write(b">r%d\n%s\n" % (i, s))
@@ -133,6 +133,43 @@ def test_three_pass_forced_stream_matches(tmp_path, monkeypatch):
                 blobs[name] = f.read()
         outs[mode] = blobs
     assert outs["force"] == outs["0"]
+
+
+def test_engine_forced_stream_k33_matches_oracle(tmp_path, monkeypatch):
+    """k=33 (the reference default): wide-key streamed round 1 + plane
+    fallback must reproduce the reference oracle's tags exactly."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle import index_reads, search_read
+
+    k = 33
+    rng = np.random.default_rng(77)
+    idx_fa = str(tmp_path / "i33.fa")
+    qry_fa = str(tmp_path / "q33.fa")
+    donors = write_fasta(idx_fa, rng, 60, 110)
+    write_fasta(qry_fa, rng, 80, 110, donors=donors, k=k)
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    rs_i = ReadSet("I")
+    rs_i.add_file(idx_fa)
+    rs_q = ReadSet("Q")
+    rs_q.add_file(qry_fa)
+    eng = Engine(k=k, t=T, batch=2048)
+    assert eng.stream
+    got = eng.index_and_search(rs_i, [rs_q], save=False)
+
+    with open(idx_fa) as f:
+        idx_seqs = [l.strip() for l in f if not l.startswith(">")]
+    with open(qry_fa) as f:
+        qry_seqs = [l.strip() for l in f if not l.startswith(">")]
+    bloom = index_reads(idx_seqs, k)
+    expected = np.array([search_read(bloom, s, k, T) for s in qry_seqs])
+    assert got["Q"]["shared"] == int(expected.sum()) > 0
+    got_tags = np.unpackbits(np.asarray(rs_q.result_bvs[0].data),
+                             bitorder="little")[: len(qry_seqs)]
+    np.testing.assert_array_equal(got_tags.astype(bool), expected)
 
 
 def test_dp_mesh_forced_stream_matches(tmp_path, monkeypatch):

@@ -52,11 +52,11 @@ def build_all(idx_codes, k):
     """Planes + the sorted (keya, keyb) index planes from the same data."""
     planes = kernels.alloc_planes(k)
     planes = kernels.build_chunk(planes, jnp.asarray(idx_codes), k)
-    ka, kb, flags, cnt = stream.chunk_index_keys_codes(
+    ka, kb, hib, flags, cnt = stream.chunk_index_keys_codes(
         jnp.asarray(idx_codes), k)
-    ika, ikb, mi = stream.finalize_index_keys([ka], [kb], [flags],
-                                              [int(cnt)], ki=2)
-    return planes, ika, ikb, mi
+    ika, ikb, ihib, mi = stream.finalize_index_keys(
+        [ka], [kb], [hib], [flags], [int(cnt)], ki=2, wide=k > 32)
+    return planes, ika, ikb, ihib, mi
 
 
 def exact_key_sets(idx_codes, k):
@@ -78,13 +78,13 @@ def test_join_membership_matches_plane_gather(k, t):
     implant(rng, idx_seqs, qry_seqs, k)
     lpad = max(max(len(s) for s in qry_seqs), k)
     idx_codes = encode(idx_seqs, max(max(len(s) for s in idx_seqs), k))
-    planes, ika, ikb, mi = build_all(idx_codes, k)
+    planes, ika, ikb, ihib, mi = build_all(idx_codes, k)
     aset, pairset = exact_key_sets(idx_codes, k)
 
     codes = jnp.asarray(encode(qry_seqs, lpad))
     wk = kernels.window_keys(codes, k, "both")
     mem = stream._membership_stream(ika, ikb, mi, wk, chunk=512, ki=2,
-                                    interpret=True)
+                                    interpret=True, ihib=ihib, k=k)
     ok = np.asarray(wk["ok"])
     mem = np.asarray(mem)
     # exact plane-A membership for comparison (plane A stores exactly the
@@ -128,11 +128,12 @@ def test_stream_cascade_matches_oracle(k, t):
 
     lpad = max(max(len(s) for s in qry_seqs), k)
     idx_codes = encode(idx_seqs, max(max(len(s) for s in idx_seqs), k))
-    planes, ika, ikb, mi = build_all(idx_codes, k)
+    planes, ika, ikb, ihib, mi = build_all(idx_codes, k)
     codes = jnp.asarray(encode(qry_seqs, lpad))
 
     verdict = np.asarray(stream.probe_cascade2_stream_codes(
-        ika, ikb, mi, codes, k, t, chunk=512, ki=2, interpret=True))
+        ika, ikb, mi, codes, k, t, chunk=512, ki=2, interpret=True,
+        ihib=ihib))
     tags = verdict == kernels.VERDICT_TAGGED
     amb = verdict == kernels.VERDICT_AMBIG
     # sound where decided; ambiguous rows must be resolvable by the
@@ -142,6 +143,38 @@ def test_stream_cascade_matches_oracle(k, t):
     np.testing.assert_array_equal(tags[~amb], full[~amb])
     np.testing.assert_array_equal(np.where(amb, full, tags), expected)
     # the stream must decide the bulk of the reads on its own
+    assert amb.mean() < 0.5
+
+
+@pytest.mark.parametrize("k", [33, 34])
+@pytest.mark.parametrize("t", [1, 2])
+def test_wide_stream_matches_oracle(k, t):
+    """k > 32: hi key bits ride packed side streams; verdicts must stay
+    sound vs the reference oracle (no planes -- they'd be 4-8 GiB)."""
+    rng = np.random.default_rng(7700 + k * 10 + t)
+    idx_seqs = random_seqs(rng, 25, k, 3 * k + 12)
+    qry_seqs = random_seqs(rng, 50, k - 2, 3 * k + 12)
+    implant(rng, idx_seqs, qry_seqs, k)
+    bloom = index_reads([s.decode() for s in idx_seqs], k)
+    expected = np.array(
+        [search_read(bloom, s.decode(), k, t) for s in qry_seqs])
+
+    lpad = max(max(len(s) for s in qry_seqs), k)
+    idx_codes = encode(idx_seqs, max(max(len(s) for s in idx_seqs), k))
+    ka, kb, hib, flags, cnt = stream.chunk_index_keys_codes(
+        jnp.asarray(idx_codes), k)
+    ika, ikb, ihib, mi = stream.finalize_index_keys(
+        [ka], [kb], [hib], [flags], [int(cnt)], ki=2, wide=True)
+    assert ihib is not None
+    codes = jnp.asarray(encode(qry_seqs, lpad))
+    verdict = np.asarray(stream.probe_cascade2_stream_codes(
+        ika, ikb, mi, codes, k, t, chunk=512, ki=2, interpret=True,
+        ihib=ihib))
+    tags = verdict == kernels.VERDICT_TAGGED
+    amb = verdict == kernels.VERDICT_AMBIG
+    np.testing.assert_array_equal(tags[~amb], expected[~amb])
+    if t == 1:  # single implanted k-mers tag at t=1
+        assert tags.any()
     assert amb.mean() < 0.5
 
 
@@ -159,9 +192,10 @@ def test_probe_exact_sets_matches_plane_probe(k):
 
     planes = kernels.alloc_planes(k)
     planes = kernels.build_chunk(planes, jnp.asarray(idx_codes), k)
-    ka, kb, flags, cnt = stream.chunk_index_keys_codes(
+    ka, kb, hib, flags, cnt = stream.chunk_index_keys_codes(
         jnp.asarray(idx_codes), k)
-    sx = stream.finalize_index([ka], [kb], [flags], [int(cnt)], ki=2)
+    sx = stream.finalize_index([ka], [kb], [hib], [flags], [int(cnt)],
+                               ki=2)
 
     qcodes = encode(qry_seqs, lpad).astype(np.uint8)
     c2, vd = kernels.pack_codes_np(qcodes)
@@ -182,8 +216,8 @@ def test_finalize_index_keys_sentinel_ties():
     keys = jnp.asarray([5, 0xFFFFFFFF, 7], dtype=jnp.uint32)
     keysb = jnp.asarray([50, 51, 70], dtype=jnp.uint32)
     flags = jnp.asarray([0, 0, 0], dtype=jnp.uint32)
-    ika, ikb, mi = stream.finalize_index_keys([keys], [keysb], [flags],
-                                              [3], ki=2)
+    ika, ikb, _ihib, mi = stream.finalize_index_keys(
+        [keys], [keysb], None, [flags], [3], ki=2)
     flat = np.asarray(ika).reshape(-1)
     assert int(mi) == 3
     assert flat[2] == 0xFFFFFFFF  # sorted: 5, 7, real-0xFFFFFFFF, pads...
@@ -209,8 +243,8 @@ def test_finalize_index_keys_sentinel_ties():
 def test_join_membership_empty_index():
     keys = jnp.zeros((0,), jnp.uint32)
     flags = jnp.zeros((0,), jnp.uint32)
-    ika, ikb, mi = stream.finalize_index_keys([keys], [keys], [flags],
-                                              [0], ki=2)
+    ika, ikb, _ihib, mi = stream.finalize_index_keys(
+        [keys], [keys], None, [flags], [0], ki=2)
     q = jnp.asarray(np.arange(512, dtype=np.uint32))
     got = np.asarray(stream.join_membership(ika, ikb, mi, q, q, chunk=512,
                                             ki=2, interpret=True))
