@@ -92,7 +92,6 @@ def _join_kernel(mi_ref, ih_ref, *refs, ki: int, wide: bool):
     qb = qb_ref[0]  # [1, C] uint32, aligned payload
     qh = qh_ref[0] if wide else None  # [1, C] packed hi bits
     c = qa.shape[1]
-    g2 = c // 128
     # order-preserving signed view (Mosaic has no unsigned reductions)
     bias = jnp.uint32(0x80000000)
     qs = (qa ^ bias).astype(jnp.int32)
