@@ -46,6 +46,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SENTINEL = np.uint32(0xFFFFFFFF)
+# the unsort packs (payload << 2 | verdict) into uint32: a batch's window-
+# key volume must stay inside 30 payload bits (engine clamps batch sizes
+# against this; see Engine._search_stream_only)
+MAX_UNSORT_KEYS = 1 << 30
 NONMEM = 0
 CAND = 1
 CONF = 2
@@ -114,10 +118,12 @@ def _join_kernel(mi_ref, ih_ref, *refs, ki: int, wide: bool):
     wmin = jnp.minimum(wmin0, wmin1)
     wmax = jnp.maximum(wmax0, wmax1)
 
-    # accumulators: row 0 = keya match count, row 1 = exact pair count
-    # (zero only the used rows -- the scratch persists across grid steps
-    # and a full [8, C] clear per step costs real HBM-adjacent bandwidth)
-    acc_ref[0:2, :] = jnp.zeros((2, c), jnp.int32)
+    # accumulators: row 0 = full-keya match count, row 1 = exact pair
+    # count, row 2 (wide only) = a_lo-only match count. (Zero only the
+    # used rows -- the scratch persists across grid steps and a full
+    # [8, C] clear per step costs real HBM-adjacent bandwidth.)
+    nacc = 3 if wide else 2
+    acc_ref[0:nacc, :] = jnp.zeros((nacc, c), jnp.int32)
 
     # banded scan: both sides are sorted, so a 128-entry index row can
     # only match queries when its value range overlaps the chunk's range;
@@ -142,13 +148,21 @@ def _join_kernel(mi_ref, ih_ref, *refs, ki: int, wide: bool):
                 rta = rowa.reshape(128, 1)
                 rtb = refb[pl.ds(r, 1), :].reshape(128, 1)
                 vrow = (start0 + r * 128 + lanet) < mi  # [128, 1]
-                eqa = (rta == qs) & vrow  # [128, C]
-                eqc = eqa & (rtb == qb)
+                eqlo = (rta == qs) & vrow  # [128, C] low-word match
                 if wide:
+                    # bracketing only covers the LOW word: an equal-a_lo
+                    # run can straddle the window with different hi bits
+                    # outside, so a_lo matches must stay visible (-> CAND)
+                    # even when the full key mismatches in-window
+                    acc_ref[2:3, :] += jnp.sum(
+                        jnp.where(eqlo, 1, 0), axis=0, keepdims=True)
                     rth = refh[pl.ds(r, 1), :].reshape(128, 1)
-                    eqa = eqa & ((rth >> 8) == (qh >> 8))
-                    eqc = eqc & ((rth >> 8) == (qh >> 8)) \
+                    eqa = eqlo & ((rth >> 8) == (qh >> 8))
+                    eqc = eqa & (rtb == qb) \
                               & ((rth & 0xFF) == (qh & 0xFF))
+                else:
+                    eqa = eqlo
+                    eqc = eqa & (rtb == qb)
                 acc_ref[0:1, :] += jnp.sum(
                     jnp.where(eqa, 1, 0), axis=0, keepdims=True)
                 acc_ref[1:2, :] += jnp.sum(
@@ -156,6 +170,9 @@ def _join_kernel(mi_ref, ih_ref, *refs, ki: int, wide: bool):
 
     hit_a = acc_ref[0:1, :] > 0
     hit_c = acc_ref[1:2, :] > 0
+    # wide: a_lo seen in-window but full key not -> the run may straddle
+    # the window edge with matching hi bits outside; CAND, never NONMEM
+    hit_lo = acc_ref[2:3, :] > 0 if wide else hit_a
 
     # fold the array-end relaxations into the scalar bounds (mixing scalar
     # i1 with vector i1 trips Mosaic relayouts)
@@ -169,7 +186,7 @@ def _join_kernel(mi_ref, ih_ref, *refs, ki: int, wide: bool):
     # narrow to int8 only at the final store.
     verdict = jnp.where(
         hit_c, jnp.int32(CONF),
-        jnp.where(hit_a, jnp.int32(CAND),
+        jnp.where(hit_a | hit_lo, jnp.int32(CAND),
                   jnp.where(covered, jnp.int32(NONMEM),
                             jnp.int32(RESIDUAL))))
     out_ref[0] = verdict.astype(jnp.int8)
@@ -263,7 +280,7 @@ def _index_chunk_from_wk(wk, k: int):
         hib = (wk["fa_hi"] << 8) | wk["fb_hi"]
         hib = jnp.where(ok, hib, SENTINEL).reshape(-1)
     else:
-        hib = jnp.zeros_like(keys)
+        hib = None  # narrow keys: no hi stream (finalize ignores it)
     flags = jnp.where(ok, jnp.uint32(0), jnp.uint32(1)).reshape(-1)
     return keys, keysb, hib, flags, ok.sum(dtype=jnp.int32)
 
@@ -435,7 +452,7 @@ def _membership_stream(ika, ikb, mi, wk, chunk: int, ki: int,
     # the unsort packs the payload as (pay << 2) in uint32: the batch
     # geometry must keep payloads inside 30 bits (callers size batches so
     # this never binds; see Engine.stream_batch)
-    assert mpad <= (1 << 30), (
+    assert mpad <= MAX_UNSORT_KEYS, (
         f"stream batch too large for the packed unsort: {mpad} window keys "
         f"> 2^30; reduce the query batch size")
     pay = jnp.arange(mpad, dtype=jnp.uint32)

@@ -74,13 +74,17 @@ def _stream_selfcheck(interpret: bool, wide: bool = False) -> bool:
         decided = got != _stream.RESIDUAL
         ok = bool(decided.any()) and bool((got[decided] == want[decided]).all())
         if ok and wide:
-            # hi mismatch must kill both CONF and the keya hit
+            # hi mismatch kills CONF but a low-word match must stay
+            # visible as CAND (the equal-lo run may straddle the window
+            # with matching hi bits outside -- NONMEM would be unsound)
             got2 = np.asarray(_stream.join_membership(
                 ika, ikb, mi, qa, qb, chunk=512, ki=8,
                 interpret=interpret, ihib=ihib,
                 qh_sorted=qh ^ jnp.uint32(0x0100)))
             dec2 = got2 != _stream.RESIDUAL
-            ok = bool((got2[dec2] == _stream.NONMEM).all())
+            want2 = np.where(even, _stream.CAND,
+                             _stream.NONMEM).astype(np.int8)
+            ok = bool((got2[dec2] == want2[dec2]).all())
     except Exception as exc:  # noqa: BLE001 - any failure means fallback
         import sys
         print(f"commet_tpu: stream probe self-check failed ({exc!r}); "
@@ -415,24 +419,34 @@ class Engine:
             from commet_tpu.core import stream as _stream
             collect = []
             on_cpu = jax.devices()[0].platform == "cpu"
+            wide = self.k > 32
             if on_cpu:
                 for _, codes in self._batched_codes(enc, idx):
                     collect.append(_stream.chunk_index_keys_codes(
                         jnp.asarray(codes, jnp.int32), self.k))
             else:
+                # one pass: each uploaded batch feeds key collection AND
+                # (for k > 32, which keeps bit planes for the exact
+                # fallback) the plane build -- the uplink is the
+                # bottleneck, never ship a batch twice
+                if wide and planes is None:
+                    planes = self._alloc_planes()
                 lengths = enc.read_lengths(idx)
                 lpad = _pad_length(int(lengths.max(initial=1)), self.k)
                 for _sl, c2, vd, _ln, _cl in self._batched_packed(
                         enc, idx, lpad):
+                    c2d, vdd = self._dev(c2, "rep"), self._dev(vd, "rep")
                     collect.append(_stream.chunk_index_keys(
-                        self._dev(c2, "rep"), self._dev(vd, "rep"),
-                        lpad, self.k))
+                        c2d, vdd, lpad, self.k))
+                    if wide:
+                        planes = kernels.build_chunk_packed(
+                            planes, c2d, vdd, lpad, self.k)
             self._finish_index_keys(collect)
-            if self.k <= 32:
+            if not wide:
                 return None  # planeless: the StreamIndex is everything
-            # k in 33..34: the streamed probe serves round 1 but the
-            # exact fallback still probes the bit planes (33-bit values
-            # exceed the 32-bit sorted-set lanes) -- build them too
+            if not on_cpu:
+                return planes
+            # CPU wide (tests only): fall through to the native build
         else:
             self._finish_index_keys(None)
         if jax.devices()[0].platform != "cpu":
@@ -538,19 +552,30 @@ class Engine:
         mi_host = int(sx.mi)
         size = max(_bucket_size(len(idx), self.stream_batch, self.mesh),
                    2048)
-        jchunk = _stream.pick_chunk(size * 2 * wmax, mi_host)
+        # the packed unsort carries (payload << 2) in uint32: keep the
+        # batch's window-key volume inside 2^30 (binds only for multi-kb
+        # reads; the stream stays usable, just in smaller batches)
+        max_keys = _stream.MAX_UNSORT_KEYS
+        while size > 2048 and size * 2 * wmax > max_keys:
+            size //= 2
         dp = self.mesh is not None  # DP mesh: per-chip shard streaming
         if dp:
             ndev = self.mesh.devices.size
-            jchunk = _stream.pick_chunk(size // ndev * 2 * wmax, mi_host)
+            size = max(-(-size // ndev) * ndev, ndev)
+        if size * 2 * wmax > max_keys:
+            # absurdly long reads: stream geometry impossible -> exact path
+            return self._search_stream_fallback(enc, idx, planes, lpad,
+                                                wmax)
+        jchunk = _stream.pick_chunk(
+            (size // ndev if dp else size) * 2 * wmax, mi_host)
+        if dp:
             key = (lpad, wmax, jchunk)
             if key not in self._stream_dp_fns:
                 self._stream_dp_fns[key] = (
                     self._sharded.stream_search_step(
                         self.mesh, lpad, self.k, self.t, wmax, jchunk,
                         interpret=self._stream_interpret),
-                    self._sharded.stream_exact_step(
-                        self.mesh, lpad, self.k, self.t, wmax))
+                    self._stream_dp_exact(lpad, wmax)[1])
             dp_stream, dp_exact = self._stream_dp_fns[key]
         pending = []  # (slice, device verdict) -- sync after dispatching
         for start in range(0, len(idx), size):
@@ -586,22 +611,45 @@ class Engine:
                 got == kernels.VERDICT_AMBIG])
         amb = (np.concatenate(amb_parts) if amb_parts
                else np.zeros(0, dtype=np.int64))
-        if len(amb) and sx.sa is None:
+        if len(amb):
+            tags[amb] = self._search_stream_fallback(enc, idx[amb], planes,
+                                                     lpad, wmax)
+        return tags
+
+    def _stream_dp_exact(self, lpad: int, wmax: int):
+        key = ("exact", lpad, wmax)
+        if key not in self._stream_dp_fns:
+            self._stream_dp_fns[key] = (
+                None, self._sharded.stream_exact_step(
+                    self.mesh, lpad, self.k, self.t, wmax))
+        return self._stream_dp_fns[key]
+
+    def _search_stream_fallback(self, enc: EncodedSet, rows_idx: np.ndarray,
+                                planes, lpad: int, wmax: int):
+        """Exact verdicts for the stream's residue: sorted-set probe for
+        k <= 32 (planeless), full plane probe for wide keys."""
+        from commet_tpu.core import stream as _stream
+        sx = self._sidx
+        if sx is None or sx.sa is None:
             # wide keys (k > 32): the exact fallback probes the bit planes
-            tags[amb] = self._search_full(planes, enc, idx[amb])
-            return tags
-        for start in range(0, len(amb), self.batch):
-            rows = amb[start : start + self.batch]
-            bsize = _bucket_size(len(rows), self.batch, self.mesh)
-            c2, vd, _ln, _cl = enc.gather_packed(idx[rows], lpad, bsize)
+            return self._search_full(planes, enc, rows_idx)
+        dp = self.mesh is not None
+        tags = np.zeros(len(rows_idx), dtype=bool)
+        for start in range(0, len(rows_idx), self.batch):
+            rows = slice(start, min(start + self.batch, len(rows_idx)))
+            n = rows.stop - rows.start
+            bsize = _bucket_size(n, self.batch, self.mesh)
+            c2, vd, _ln, _cl = enc.gather_packed(rows_idx[rows], lpad,
+                                                 bsize)
             if dp:
+                _, dp_exact = self._stream_dp_exact(lpad, wmax)
                 got = dp_exact(sx.sa, sx.sb, sx.sc, sx.sd, sx.mi,
                                self._dev(c2), self._dev(vd))
             else:
                 got = _stream.probe_exact_sets(
                     sx.sa, sx.sb, sx.sc, sx.sd, sx.mi, self._dev(c2),
                     self._dev(vd), lpad, self.k, self.t, wmax)
-            tags[rows] = np.asarray(got)[: len(rows)]
+            tags[rows] = np.asarray(got)[:n]
         return tags
 
     def _search_full(self, planes, enc: EncodedSet, idx: np.ndarray):

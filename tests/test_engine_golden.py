@@ -7,6 +7,7 @@ import os
 import pytest
 
 from commet_tpu.cli import index_and_search as ias_cli
+from util import slice_fasta as _slice_fasta
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "unit")
 DATA = os.path.join(os.path.dirname(__file__), "data")
@@ -49,18 +50,6 @@ def test_bc_in_a_golden(tmp_path, monkeypatch):
     _same_bytes(str(out / "C.fa_in_A.bv"), os.path.join(GOLDEN, "C.fa_in_A.bv"))
     assert _counters(str(out / "BC_in_A.log")) == \
         _golden_counters(os.path.join(GOLDEN, "BC_in_A.log.counters"))
-
-
-def _slice_fasta(src, dst, n_reads):
-    """First n_reads records of a 2-line-per-record fasta."""
-    with open(src) as f, open(dst, "w") as out:
-        count = 0
-        for line in f:
-            if line.startswith(">"):
-                count += 1
-                if count > n_reads:
-                    break
-            out.write(line)
 
 
 def test_partitioned_k15_golden(tmp_path):

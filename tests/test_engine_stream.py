@@ -135,6 +135,41 @@ def test_three_pass_forced_stream_matches(tmp_path, monkeypatch):
     assert outs["force"] == outs["0"]
 
 
+def test_long_read_geometry_falls_back_exact(tmp_path, monkeypatch):
+    """When the batch's window-key volume cannot fit the packed unsort
+    even at the minimum batch size (multi-kb reads), the engine must route
+    the whole search through the exact probe instead of tripping the
+    stream's capacity assert (code-review finding). Simulated by shrinking
+    the shared capacity constant."""
+    from commet_tpu.core import stream as stream_mod
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    monkeypatch.setattr(stream_mod, "MAX_UNSORT_KEYS", 40_000)
+    calls = {"n": 0}
+    real = stream_mod.probe_cascade2_stream
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(stream_mod, "probe_cascade2_stream", counting)
+
+    rng = np.random.default_rng(41)
+    rs_i, rs_q = make_sets(tmp_path, rng)
+    eng = Engine(k=K, t=T, batch=2048)
+    assert eng.stream
+    got = eng.index_and_search(rs_i, [rs_q], save=False)
+    assert calls["n"] == 0, "stream probe must not run past its capacity"
+    assert got["Q"]["shared"] > 0
+
+    rs_i2, rs_q2 = make_sets(tmp_path, np.random.default_rng(41))
+    monkeypatch.setenv("COMMET_TPU_STREAM", "0")
+    eng0 = Engine(k=K, t=T, batch=2048)
+    want = eng0.index_and_search(rs_i2, [rs_q2], save=False)
+    assert got["Q"]["shared"] == want["Q"]["shared"]
+
+
 def test_engine_forced_stream_k33_matches_oracle(tmp_path, monkeypatch):
     """k=33 (the reference default): wide-key streamed round 1 + plane
     fallback must reproduce the reference oracle's tags exactly."""

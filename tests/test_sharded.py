@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from commet_tpu.core import kernels
 from commet_tpu.parallel import sharded
+from util import slice_fasta as _slice_fasta
 
 
 @pytest.fixture(scope="module")
@@ -43,18 +44,6 @@ def test_sharded_matches_single(mesh, k):
     # plane contents identical too (concatenated shards == flat planes)
     flat8 = np.asarray(planes).reshape(-1)
     assert (flat8 == np.asarray(p1)).all()
-
-
-def _slice_fasta(src, dst, n_reads):
-    """First n_reads records of a 2-line-per-record fasta."""
-    with open(src) as f, open(dst, "w") as out:
-        count = 0
-        for line in f:
-            if line.startswith(">"):
-                count += 1
-                if count > n_reads:
-                    break
-            out.write(line)
 
 
 def test_sharded_engine_matches_golden(mesh, tmp_path):

@@ -178,6 +178,44 @@ def test_wide_stream_matches_oracle(k, t):
     assert amb.mean() < 0.5
 
 
+def test_wide_straddling_run_never_nonmem():
+    """Soundness regression (code-review finding): an equal-a_lo run that
+    straddles the streamed window edge with DIFFERENT hi bits outside must
+    never yield NONMEM for a query matching the outside part -- the index
+    is sorted by the low word only, so bracketing covers a_lo, not the
+    full wide key. The buggy kernel returned NONMEM here (silent wrong
+    UNTAGGED at k=33)."""
+    ri, ki = 8, 2  # window = 2*ki*128 = 512 of 1024 entries
+    flat_lo = np.empty(1024, np.uint32)
+    flat_lo[:500] = np.arange(500)
+    flat_lo[500:531] = 500  # equal-lo run straddling the [0, 512) window
+    flat_lo[531:] = np.arange(600, 600 + 1024 - 531)
+    hib = np.zeros(1024, np.uint32)
+    hib[512:531] = 0x0100  # hi bits differ OUTSIDE the window only
+    ikb = np.full(1024, 7, np.uint32)
+    ika = jnp.asarray(flat_lo.reshape(ri, 128))
+    ikbj = jnp.asarray(ikb.reshape(ri, 128))
+    ihib = jnp.asarray(hib.reshape(ri, 128))
+    mi = jnp.asarray(1024, jnp.int32)
+
+    qa = np.zeros(512, np.uint32)
+    qa[-1] = 500  # sorted; first query 0 anchors the window at ih=0
+    qb = np.full(512, 7, np.uint32)
+    qh = np.zeros(512, np.uint32)
+    qh[-1] = 0x0100  # matches only the out-of-window part of the run
+    got = np.asarray(stream.join_membership(
+        ika, ikbj, mi, jnp.asarray(qa), jnp.asarray(qb), chunk=512, ki=ki,
+        interpret=True, ihib=ihib, qh_sorted=jnp.asarray(qh)))
+    # the key IS in the index (positions 512..530); NONMEM would be wrong
+    assert got[-1] in (stream.CAND, stream.RESIDUAL), got[-1]
+    # and the in-window hi pattern still confirms exactly
+    qh2 = np.zeros(512, np.uint32)
+    got2 = np.asarray(stream.join_membership(
+        ika, ikbj, mi, jnp.asarray(qa), jnp.asarray(qb), chunk=512, ki=ki,
+        interpret=True, ihib=ihib, qh_sorted=jnp.asarray(qh2)))
+    assert got2[-1] == stream.CONF
+
+
 @pytest.mark.parametrize("k", [15, 31, 32])
 def test_probe_exact_sets_matches_plane_probe(k):
     """probe_exact_sets (sorted-set membership of all four derived keys,
