@@ -12,9 +12,13 @@ index built in sequential partitions. Here:
     boundary (index_reads.h:49-61 fetches one read past the cap and never
     indexes it) and found-read skipping between partitions
     (file_manager.h:99-109);
-  - per partition, the 4 membership planes are built on device
-    (kernels.build_chunk) and every still-untagged query read is classified
-    in large data-parallel batches (kernels.search_batch).
+  - per partition, the membership structure is built on device and every
+    still-untagged query read is classified in large data-parallel
+    batches. The default structure for k <= 34 at low fill is the sorted
+    (keya, keyb) StreamIndex probed by the gather-free sorted-join kernel
+    (core/stream.py, planeless for k <= 32); other configurations build
+    the 4 dense 2^k-bit membership planes and probe them with the gather
+    cascade (core/kernels.py). All paths produce bit-identical tags.
 """
 
 from __future__ import annotations
