@@ -86,8 +86,21 @@ def bv_count(path: str) -> int:
     return BitVector.read(path).nb_one()
 
 
+def py2_str_float(v: float) -> str:
+    """CPython 2.7 ``str(float)``: PyOS_double_to_string(v, 'g', 12,
+    Py_DTSF_ADD_DOT_0) — 12 significant digits, with ``.0`` appended to
+    integral results unless an exponent is present. The reference driver is
+    python 2 (Commet.py:299,314,408-420), so byte parity of the float CSVs
+    requires this formatter rather than py3's shortest repr."""
+    s = "%.12g" % v
+    if "." not in s and "e" not in s and "n" not in s:  # n: inf/nan
+        s += ".0"
+    return s
+
+
 def output_matrices(read_matrix, bv_matrix, names, out_dir, plots=True):
-    """CSV matrices, byte-identical to Commet.py:245-317 (py3 float repr)."""
+    """CSV matrices, byte-identical to Commet.py:245-317 (incl. the py2
+    str(float) 12-significant-digit formatting)."""
     number_reads_all_sets = []
     matrix = []
     for i in range(len(names)):
@@ -116,11 +129,11 @@ def output_matrices(read_matrix, bv_matrix, names, out_dir, plots=True):
                 f.write("\n")
 
     write_matrix("matrix_plain.csv", lambda i, j: matrix[i][j])
-    write_matrix("matrix_percentage.csv",
-                 lambda i, j: 100 * matrix[i][j] / float(number_reads_all_sets[i]))
-    write_matrix("matrix_normalized.csv",
-                 lambda i, j: 100 * (matrix[i][j] + matrix[j][i])
-                 / float(number_reads_all_sets[i] + number_reads_all_sets[j]))
+    write_matrix("matrix_percentage.csv", lambda i, j: py2_str_float(
+        100 * matrix[i][j] / float(number_reads_all_sets[i])))
+    write_matrix("matrix_normalized.csv", lambda i, j: py2_str_float(
+        100 * (matrix[i][j] + matrix[j][i])
+        / float(number_reads_all_sets[i] + number_reads_all_sets[j])))
 
     if plots:
         try:
@@ -273,7 +286,7 @@ def output_vectors(read_matrix, bv_matrix, names, out_dir):
         for j in range(len(names)):
             v1 = 100 * vector_sum_shared_reads[0][j] / float(number_reads_all_sets[0])
             v2 = 100 * vector_sum_shared_reads[j + 1] / float(number_reads_all_sets[j])
-            f.write(";" + str(v1) + "/" + str(v2))
+            f.write(";" + py2_str_float(v1) + "/" + py2_str_float(v2))
         f.write("\n")
 
     print("All Commet work is done")
