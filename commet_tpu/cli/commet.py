@@ -50,6 +50,28 @@ def _load_set(name, files, bvs) -> ReadSet:
     return rs
 
 
+def refine_pair(read_matrix, bv_matrix, names, out_dir, ref_id, j, eng):
+    """Steps a/b of the Compareads 3-pass refinement for pair (ref_id, j)
+    (Commet.py:211-238); requires the pair's step-0 result bvs on disk."""
+    # STEP a: Si in (X in Si) - index X narrowed by its _in_Si bvs
+    x_bvs = [out_dir + os.path.basename(f) + "_in_" +
+             os.path.basename(names[ref_id]) + ".bv"
+             for f in read_matrix[j]]
+    x_narrow = _load_set(names[j], read_matrix[j], x_bvs)
+    si = _load_set(names[ref_id], read_matrix[ref_id], bv_matrix[ref_id])
+    print(f" {names[ref_id]} in ({names[j]} in {names[ref_id]})")
+    eng.index_and_search(x_narrow, [si], out_dir=out_dir, log_dir=out_dir)
+
+    # STEP b: X in (Si in (X in Si)) - index Si narrowed by its _in_X bvs
+    si_bvs = [out_dir + os.path.basename(f) + "_in_" +
+              os.path.basename(names[j]) + ".bv"
+              for f in read_matrix[ref_id]]
+    si_narrow = _load_set(names[ref_id], read_matrix[ref_id], si_bvs)
+    x_full = _load_set(names[j], read_matrix[j], bv_matrix[j])
+    print(f" {names[j]} in ({names[ref_id]} in ({names[j]} in {names[ref_id]}))")
+    eng.index_and_search(si_narrow, [x_full], out_dir=out_dir, log_dir=out_dir)
+
+
 def compare_all_against(read_matrix, bv_matrix, names, out_dir, ref_id, eng):
     """One reference round (Commet.py:186-240) executed in-process: results
     chain through .bv files on disk like the reference's job DAG."""
@@ -63,23 +85,45 @@ def compare_all_against(read_matrix, bv_matrix, names, out_dir, ref_id, eng):
     eng.index_and_search(index_set, queries, out_dir=out_dir, log_dir=out_dir)
 
     for j in range(ref_id + 1, n_sets):
-        # STEP a: Si in (X in Si) - index X narrowed by its _in_Si bvs
-        x_bvs = [out_dir + os.path.basename(f) + "_in_" +
-                 os.path.basename(names[ref_id]) + ".bv"
-                 for f in read_matrix[j]]
-        x_narrow = _load_set(names[j], read_matrix[j], x_bvs)
-        si = _load_set(names[ref_id], read_matrix[ref_id], bv_matrix[ref_id])
-        print(f" {names[ref_id]} in ({names[j]} in {names[ref_id]})")
-        eng.index_and_search(x_narrow, [si], out_dir=out_dir, log_dir=out_dir)
+        refine_pair(read_matrix, bv_matrix, names, out_dir, ref_id, j, eng)
 
-        # STEP b: X in (Si in (X in Si)) - index Si narrowed by its _in_X bvs
-        si_bvs = [out_dir + os.path.basename(f) + "_in_" +
-                  os.path.basename(names[j]) + ".bv"
-                  for f in read_matrix[ref_id]]
-        si_narrow = _load_set(names[ref_id], read_matrix[ref_id], si_bvs)
-        x_full = _load_set(names[j], read_matrix[j], bv_matrix[j])
-        print(f" {names[j]} in ({names[ref_id]} in ({names[j]} in {names[ref_id]}))")
-        eng.index_and_search(si_narrow, [x_full], out_dir=out_dir, log_dir=out_dir)
+
+def run_amortized_rounds(read_matrix, bv_matrix, names, out_dir, end, eng):
+    """The transposed all-vs-all schedule: every step-0 index set S_0 ..
+    S_{end-1} is built ONCE as a resident StreamIndex, then each query set
+    S_j streams its batches once against all earlier resident indexes (one
+    query sort serving up to j joins -- engine.search_multi_set). Pair
+    results are identical to the reference's per-round schedule
+    (Commet.py:186-240): each pair's step-0 outcome depends only on its own
+    (index, query) sets, so reordering across pairs is observationally
+    equivalent; the a/b refinement steps then run pairwise as before.
+    Returns False when the configuration cannot be served (wide keys, high
+    fill, memory budget) -- the caller falls back to the classic rounds."""
+    if os.environ.get("COMMET_TPU_MULTI", "1") == "0":
+        return False
+    n = len(names)
+    budget = float(os.environ.get("COMMET_TPU_RESIDENT_BUDGET", "6e9"))
+    residents = []
+    total_bytes = 0
+    for i in range(end):
+        rs = _load_set(names[i], read_matrix[i], bv_matrix[i])
+        r = eng.build_resident(rs)
+        if r is None:
+            return False
+        total_bytes += r.device_bytes()
+        if total_bytes > budget:
+            return False
+        residents.append(r)
+    for j in range(1, n):
+        targets = residents[: min(j, end)]
+        rs_q = _load_set(names[j], read_matrix[j], bv_matrix[j])
+        print(f"{names[j]} in {{{', '.join(r.name for r in targets)}}}")
+        eng.search_multi_set(rs_q, targets, out_dir=out_dir, log_dir=out_dir)
+    del residents  # free device memory before the pairwise refinement
+    for i in range(end):
+        for j in range(i + 1, n):
+            refine_pair(read_matrix, bv_matrix, names, out_dir, i, j, eng)
+    return True
 
 
 def bv_count(path: str) -> int:
@@ -380,11 +424,18 @@ def main(argv=None) -> int:
         _run_scheduled(read_matrix, bv_matrix, names, out_dir, end, eng,
                        args.jobs)
     else:
-        for ref_id in range(end):
-            if ref_id % nprocs != rank:
-                continue
-            compare_all_against(read_matrix, bv_matrix, names, out_dir,
-                                ref_id, eng)
+        # single-host: try the amortized schedule first (resident indexes,
+        # one query sort serving every step-0 join); identical outputs,
+        # falls back per-configuration. Multi-host keeps the per-round
+        # striding (rounds are the distribution unit).
+        done = nprocs == 1 and run_amortized_rounds(
+            read_matrix, bv_matrix, names, out_dir, end, eng)
+        if not done:
+            for ref_id in range(end):
+                if ref_id % nprocs != rank:
+                    continue
+                compare_all_against(read_matrix, bv_matrix, names, out_dir,
+                                    ref_id, eng)
 
     if nprocs > 1:
         print("multi-host run: rank %d/%d finished its rounds; run "

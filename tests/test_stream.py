@@ -278,6 +278,68 @@ def test_finalize_index_keys_sentinel_ties():
     assert dict(zip(qa.tolist(), got2.tolist()))[5] == stream.CAND
 
 
+@pytest.mark.parametrize("k", [15, 32])
+@pytest.mark.parametrize("n_s", [1, 3, 17])
+def test_probe_multi_matches_single(k, n_s):
+    """The amortized multi-index probe (one sort + one packed unsort for S
+    index partitions) must give exactly the per-index verdicts of the
+    single-index probe at the same join geometry — including S > 15, which
+    spans multiple packed unsort operands."""
+    t = 2
+    rng = np.random.default_rng(31000 + k * 100 + n_s)
+    idxs = []
+    for s in range(n_s):
+        idx_seqs = random_seqs(rng, 12, k, 3 * k + 8)
+        idx_codes = encode(idx_seqs, max(max(len(x) for x in idx_seqs), k))
+        ka, kb, hib, flags, cnt = stream.chunk_index_keys_codes(
+            jnp.asarray(idx_codes), k)
+        ika, ikb, _hib, mi = stream.finalize_index_keys(
+            [ka], [kb], None, [flags], [int(cnt)], ki=2)
+        idxs.append((ika, ikb, mi, idx_seqs))
+    qry_seqs = random_seqs(rng, 40, k - 1, 3 * k + 8)
+    implant(rng, idxs[0][3], qry_seqs, k)
+    lpad = max(max(len(s) for s in qry_seqs), k)
+    codes = jnp.asarray(encode(qry_seqs, lpad))
+
+    got = np.asarray(stream.probe_multi_stream_codes(
+        tuple(x[0] for x in idxs), tuple(x[1] for x in idxs),
+        tuple(x[2] for x in idxs), codes, k, t, chunk=512, ki=2,
+        interpret=True))
+    assert got.shape == (n_s, len(qry_seqs))
+    for s, (ika, ikb, mi, _seqs) in enumerate(idxs):
+        want = np.asarray(stream.probe_cascade2_stream_codes(
+            ika, ikb, mi, codes, k, t, chunk=512, ki=2, interpret=True))
+        np.testing.assert_array_equal(got[s], want, err_msg=f"index {s}")
+
+
+def test_probe_multi_packed_dirty_batch():
+    """Dirty batches (internal N bases) through the packed multi probe."""
+    k, t, n_s = 21, 2, 2
+    rng = np.random.default_rng(555)
+    idxs = []
+    for s in range(n_s):
+        idx_seqs = random_seqs(rng, 15, k, 3 * k + 8, n_frac=0.1)
+        idx_codes = encode(idx_seqs, max(max(len(x) for x in idx_seqs), k))
+        ka, kb, hib, flags, cnt = stream.chunk_index_keys_codes(
+            jnp.asarray(idx_codes), k)
+        ika, ikb, _hib, mi = stream.finalize_index_keys(
+            [ka], [kb], None, [flags], [int(cnt)], ki=2)
+        idxs.append((ika, ikb, mi))
+    qry_seqs = random_seqs(rng, 30, k - 1, 3 * k + 8, n_frac=0.15)
+    lpad = max(max(len(s) for s in qry_seqs), k)
+    qcodes = encode(qry_seqs, lpad).astype(np.uint8)
+    c2, vd = kernels.pack_codes_np(qcodes)
+    got = np.asarray(stream.probe_multi_stream_packed(
+        tuple(x[0] for x in idxs), tuple(x[1] for x in idxs),
+        tuple(x[2] for x in idxs), jnp.asarray(c2), jnp.asarray(vd), lpad,
+        k, t, chunk=512, ki=2, interpret=True))
+    for s, (ika, ikb, mi) in enumerate(idxs):
+        want = np.asarray(stream.probe_cascade2_stream_packed(
+            ika, ikb, mi, jnp.asarray(c2), jnp.asarray(vd), lpad, k, t,
+            chunk=512, ki=2, interpret=True))
+        np.testing.assert_array_equal(got[s], want, err_msg=f"index {s}")
+
+
 def test_join_membership_empty_index():
     keys = jnp.zeros((0,), jnp.uint32)
     flags = jnp.zeros((0,), jnp.uint32)
