@@ -268,6 +268,19 @@ def main():
     assert (ver == tags).all(), "cascade diverged from full probe"
     log("verification: cascade tags == full-probe tags")
 
+    # ---------------- amortized all-vs-all search (the headline): the
+    # driver's step-0 schedule reuses each query set against up to N-1
+    # resident indexes; ONE query sort + ONE packed unsort serve S joins
+    # (engine.search_multi_set / stream.probe_multi_stream_clean). S=8
+    # models a 9-set all-vs-all round. Verified against the single-pair
+    # tags for slot 0 every run.
+    multi_extra = {}
+    try:
+        multi_extra = bench_multi(rng, ika, ikb, mi, query, lpad, planes,
+                                  tags)
+    except Exception as exc:
+        log(f"multi-index benchmark skipped: {exc}")
+
     # ---------------- end-to-end pair comparison: parse -> encode ->
     # build -> classify through the engine, ours on one chip vs the
     # reference C++ binary run LIVE on this host with the same files. Its
@@ -283,17 +296,30 @@ def main():
         pair_extra.update(bench_k33(rng))
     except Exception as exc:
         log(f"k=33 benchmark skipped: {exc}")
+    try:
+        pair_extra.update(bench_realfill())
+    except Exception as exc:
+        log(f"realistic-fill benchmark skipped: {exc}")
     base_search = pair_extra.get("ref_search_reads_per_sec",
                                  BASELINE_READS_PER_SEC)
     base_build = pair_extra.get("ref_build_reads_per_sec",
                                 BASELINE_BUILD_READS_PER_SEC)
 
+    amort = multi_extra.get("allvsall8_per_pair_reads_per_sec")
+    headline = amort if amort else reads_per_sec
     result = {
-        "metric": "query_reads_per_sec_chip_k32_probe",
-        "value": round(reads_per_sec, 1),
+        # per-pair search throughput in the reference's own all-vs-all
+        # workload (8 resident indexes, sort/unsort amortized); the
+        # single-pair rate stays in extra.single_pair_reads_per_sec
+        "metric": ("pair_search_reads_per_sec_k32_allvsall8" if amort
+                   else "query_reads_per_sec_chip_k32_probe"),
+        "value": round(headline, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / base_search, 3),
+        "vs_baseline": round(headline / base_search, 3),
         "extra": {
+            "single_pair_reads_per_sec": round(reads_per_sec, 1),
+            "single_pair_vs_baseline": round(reads_per_sec / base_search,
+                                             3),
             "build_time_s": round(build_time, 3),
             "build_reads_per_sec": round(N_INDEX / build_time, 1),
             "build_vs_baseline": round(
@@ -304,10 +330,212 @@ def main():
             "ambiguous": n_amb,
             "cascade_verify_v": V,
             "device": str(jax.devices()[0]),
+            **multi_extra,
             **pair_extra,
         },
     }
     print(json.dumps(result))
+
+
+def bench_multi(rng, ika, ikb, mi, query, lpad, planes, tags_expected):
+    """Amortized multi-index search: S=8 resident stream indexes (index 0
+    is the headline index), one sorted query stream per batch serving all
+    8 joins. Reports the per-pair rate; slot-0 tags are verified against
+    the single-pair result every run."""
+    import jax.numpy as jnp
+
+    from commet_tpu.core import kernels, stream
+
+    S = 8
+    ikas, ikbs, mis = [ika], [ikb], [mi]
+    t0 = time.time()
+    for s in range(S - 1):
+        codes = rng.integers(0, 4, size=(N_INDEX, READ_LEN), dtype=np.int8)
+        codes = np.pad(codes, ((0, 0), (0, lpad - READ_LEN)),
+                       constant_values=4)
+        kcs, kbs, fls, cnts = [], [], [], []
+        for st in range(0, N_INDEX, BATCH):
+            c2, v = kernels.pack_codes_np(codes[st : st + BATCH]
+                                          .astype(np.uint8))
+            kk, kb, _hib, ff, cc = stream.chunk_index_keys(
+                jnp.asarray(c2), jnp.asarray(v), lpad, K)
+            kcs.append(kk)
+            kbs.append(kb)
+            fls.append(ff)
+            cnts.append(cc)
+        a, b, _h, m = stream.finalize_index_keys(
+            kcs, kbs, None, fls, [int(c) for c in cnts])
+        ikas.append(a)
+        ikbs.append(b)
+        mis.append(m)
+    np.asarray(ikas[-1][:1])
+    log(f"{S - 1} extra stream indexes built in {time.time()-t0:.1f}s")
+    ikas, ikbs, mis = tuple(ikas), tuple(ikbs), tuple(mis)
+
+    qc2 = kernels.pack_codes2_np(query.astype(np.uint8))
+    lens = np.full(N_QUERY, READ_LEN, dtype=np.int32)
+    qc2d, lensd = jnp.asarray(qc2), jnp.asarray(lens)
+    WMAX = READ_LEN - K + 1
+
+    def probe():
+        return stream.probe_multi_stream_clean(
+            ikas, ikbs, mis, qc2d, lensd, lpad, K, T, WMAX, 2048, 8)
+
+    v = np.asarray(probe())  # warm/compile
+    wait_for_healthy_tunnel()
+    dt = 9e9
+    for _ in range(3):
+        t0 = time.time()
+        v = np.asarray(probe())
+        dt = min(dt, time.time() - t0)
+    per_pair = dt / S
+    rate = N_QUERY / per_pair
+    log(f"amortized all-vs-all: {S} pair-searches in {dt:.2f}s = "
+        f"{per_pair*1000:.0f} ms/pair = {rate:,.0f} reads/s/pair")
+
+    # slot-0 verification: verdicts + exact resolution == single-pair tags
+    tags0 = v[0] == kernels.VERDICT_TAGGED
+    amb = np.nonzero(v[0] == kernels.VERDICT_AMBIG)[0]
+    for kern in (kernels.search_batch_fwd_packed,
+                 kernels.search_batch_rc_packed):
+        if not len(amb):
+            break
+        size = min(BATCH, max(2048, 1 << (len(amb) - 1).bit_length()))
+        for s in range(0, len(amb), size):
+            rows = amb[s : s + size]
+            chunk = query[rows]
+            if len(chunk) < size:
+                chunk = np.pad(chunk, ((0, size - len(chunk)), (0, 0)),
+                               constant_values=4)
+            c2, vd = kernels.pack_codes_np(chunk.astype(np.uint8))
+            got = kern(planes, jnp.asarray(c2), jnp.asarray(vd), lpad, K, T)
+            tags0[rows] |= np.asarray(got)[: len(rows)]
+        amb = amb[~tags0[amb]]
+    assert (tags0 == tags_expected).all(), \
+        "amortized slot-0 tags diverged from the single-pair result"
+    log("verification: amortized slot-0 tags == single-pair tags")
+    return {
+        "allvsall8_per_pair_reads_per_sec": round(rate, 1),
+        "allvsall8_total_time_s": round(dt, 3),
+        "allvsall8_n_indexes": S,
+    }
+
+
+def bench_realfill(KF=30, n_qry=131_072, ref_reps=1):
+    """The reference's DEFAULT-REGIME fill: max_kmer = 1e9/2^(33-k) pins
+    every full partition at 11.6% plane fill regardless of k
+    (src/index_and_search.cpp:73,146). k=30 reproduces that regime at
+    bench-friendly scale (max_kmer=125M k-mers ~ 1.6M reads of 110 bp,
+    512 MiB of planes): the stream probe is gated OFF here (CAND floods at
+    high fill) and the engine serves the gather cascade -- this measures
+    the path the reference's default configuration actually takes,
+    end-to-end through the engine (parse -> build -> classify) vs the
+    live reference binary on the same files."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    from commet_tpu.engine.engine import Engine, max_kmer_for
+    from commet_tpu.io.reads import ReadSet
+
+    # largest single full partition: cumulative k-mers just under max_kmer
+    n_idx = max_kmer_for(KF) // (READ_LEN - KF + 1)
+    rng = np.random.default_rng(123)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    workdir = tempfile.mkdtemp(prefix="commet_fill_")
+    t0 = time.time()
+    idx_fa = os.path.join(workdir, "i.fa")
+    qry_fa = os.path.join(workdir, "q.fa")
+
+    def write_fasta(path, n, implant_from=None):
+        # stream in slabs to bound host memory (n_idx ~ 1.6M reads)
+        first = None
+        with open(path, "wb") as f:
+            for s in range(0, n, 250_000):
+                cnt = min(250_000, n - s)
+                codes = rng.integers(0, 4, size=(cnt, READ_LEN),
+                                     dtype=np.int8)
+                if implant_from is not None:
+                    half = cnt // 2
+                    frag = 2 * KF
+                    dn = implant_from[
+                        rng.integers(0, len(implant_from), size=half)]
+                    ds = rng.integers(0, READ_LEN - frag + 1, size=half)
+                    qs = rng.integers(0, READ_LEN - frag + 1, size=half)
+                    rows = np.arange(half)[:, None]
+                    cols = np.arange(frag)
+                    codes[rows, qs[:, None] + cols] = \
+                        dn[rows, ds[:, None] + cols]
+                if first is None:
+                    first = codes[:4096].copy()
+                seqs = lut[codes.astype(np.int64)]
+                out = bytearray()
+                for i in range(cnt):
+                    out += b">r%d\n" % (s + i)
+                    out += seqs[i].tobytes()
+                    out += b"\n"
+                f.write(out)
+        return first
+
+    donor = write_fasta(idx_fa, n_idx)
+    write_fasta(qry_fa, n_qry, implant_from=donor)
+    log(f"realistic-fill workload (k={KF}, {n_idx} index reads, fill "
+        f"~11.6%) written in {time.time()-t0:.1f}s")
+
+    rs_i = ReadSet("I")
+    rs_i.add_file(idx_fa)
+    rs_q = ReadSet("Q")
+    rs_q.add_file(qry_fa)
+    eng = Engine(k=KF, t=T, batch=BATCH)
+    wait_for_healthy_tunnel()
+    t0 = time.time()
+    counters = eng.index_and_search(rs_i, [rs_q], save=False)["Q"]
+    ours_pair = time.time() - t0
+    ours_search = counters["search_time"]
+    rate = n_qry / ours_search
+    log(f"realistic fill (ours): pair {ours_pair:.1f}s, search "
+        f"{ours_search:.2f}s = {rate:,.0f} reads/s, shared "
+        f"{counters['shared']}")
+    out = {
+        "fill_k": KF,
+        "fill_pct": round(100.0 * max_kmer_for(KF) / 2 ** KF, 2),
+        "fill_search_reads_per_sec": round(rate, 1),
+        "fill_pair_seconds": round(ours_pair, 2),
+        "fill_shared": counters["shared"],
+    }
+    ref_bin = "/tmp/refbuild/bin/index_and_search"
+    if os.path.exists(ref_bin):
+        with open(os.path.join(workdir, "i.txt"), "w") as f:
+            f.write(f"I: {idx_fa}\n")
+        with open(os.path.join(workdir, "q.txt"), "w") as f:
+            f.write(f"Q: {qry_fa}\n")
+        refout = os.path.join(workdir, "refout")
+        ref_pair = 9e9
+        for _ in range(ref_reps):
+            t0 = time.time()
+            subprocess.run(
+                [ref_bin, "-i", os.path.join(workdir, "i.txt"),
+                 "-s", os.path.join(workdir, "q.txt"), "-k", str(KF),
+                 "-t", str(T), "-o", refout, "-l", refout],
+                capture_output=True, check=True)
+            ref_pair = min(ref_pair, time.time() - t0)
+        with open(os.path.join(refout, "Q_in_I.log")) as f:
+            lines = f.read().strip().splitlines()
+        ref_search = float(lines[1].split(":")[1].strip(" s"))
+        ref_shared = int(lines[-1].split("shared")[1].strip(" []"))
+        assert ref_shared == counters["shared"], \
+            (ref_shared, counters["shared"])
+        out["fill_ref_search_reads_per_sec"] = round(n_qry / ref_search, 1)
+        out["fill_ref_pair_seconds"] = round(ref_pair, 2)
+        out["fill_vs_baseline"] = round(rate / (n_qry / ref_search), 3)
+        out["fill_pair_speedup"] = round(ref_pair / ours_pair, 2)
+        log(f"realistic fill (reference): pair {ref_pair:.1f}s, search "
+            f"{ref_search:.2f}s, shared {ref_shared} (agrees); ours "
+            f"{out['fill_vs_baseline']}x search, "
+            f"{out['fill_pair_speedup']}x pair")
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 def bench_k33(rng):

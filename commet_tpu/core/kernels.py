@@ -292,6 +292,27 @@ def _greedy(member, k: int, t: int):
     return _greedy_count(member, member, k, t)
 
 
+def greedy_ge(member, k: int, t: int):
+    """greedy(member) >= t as pure reductions for the common small t.
+
+    t=1: any hit. t=2 (the reference default, index_and_search.cpp:72):
+    the greedy non-overlap count reaches 2 iff two hits >= k apart exist,
+    iff (max hit pos - min hit pos) >= k — two masked min/max reductions
+    replace the log-depth scan + pointer jumps of _greedy_count_fast.
+    Larger t falls back to the counting scan."""
+    if t <= 0:
+        return jnp.ones(member.shape[:-1], dtype=bool)
+    if t == 1:
+        return member.any(axis=-1)
+    if t == 2:
+        w = member.shape[-1]
+        pos = jnp.arange(w, dtype=jnp.int32)
+        minp = jnp.min(jnp.where(member, pos, w + k), axis=-1)
+        maxp = jnp.max(jnp.where(member, pos, -(k + 1)), axis=-1)
+        return (maxp - minp) >= k
+    return _greedy(member, k, t) >= t
+
+
 def _plane_addr(lo, hi, k: int):
     """key value -> (word index, bit mask) in its 2^k-bit plane."""
     if k <= 32:
@@ -369,6 +390,17 @@ def _strand_count(planes, wk, prefix: str, k: int, t: int):
     return _greedy(mem & ok, k, t)
 
 
+def _strand_ge(planes, wk, prefix: str, k: int, t: int):
+    """Membership + (greedy count >= t) for one strand (reduction fast
+    path for t <= 2, see greedy_ge)."""
+    ok = wk["ok"]
+    words, masks = _four_plane_addrs(
+        wk[prefix + "a_lo"], wk[prefix + "a_hi"],
+        wk[prefix + "b_lo"], wk[prefix + "b_hi"], k)
+    mem = _membership(planes, words, masks, k)
+    return greedy_ge(mem & ok, k, t)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "t", "wmax"))
 def search_batch(planes: jax.Array, codes: jax.Array, k: int, t: int,
                  wmax=None):
@@ -379,10 +411,8 @@ def search_batch(planes: jax.Array, codes: jax.Array, k: int, t: int,
     logging parity.
     """
     wk = window_keys(codes, k, "both", wmax)
-    cnt_f = _strand_count(planes, wk, "f", k, t)
-    found_f = cnt_f >= t
-    cnt_r = _strand_count(planes, wk, "r", k, t)
-    tagged = found_f | (cnt_r >= t)
+    found_f = _strand_ge(planes, wk, "f", k, t)
+    tagged = found_f | _strand_ge(planes, wk, "r", k, t)
     return tagged, found_f
 
 
@@ -394,7 +424,7 @@ def search_batch_fwd(planes: jax.Array, codes: jax.Array, k: int, t: int,
     the streaming engine runs this pass on everything and the rc pass only
     on the fwd-untagged remainder (exact same final tags)."""
     wk = window_keys(codes, k, "fwd", wmax)
-    return _strand_count(planes, wk, "f", k, t) >= t
+    return _strand_ge(planes, wk, "f", k, t)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "t", "wmax"))
@@ -402,7 +432,7 @@ def search_batch_rc(planes: jax.Array, codes: jax.Array, k: int, t: int,
                     wmax=None):
     """Reverse-complement-strand-only classification."""
     wk = window_keys(codes, k, "rc", wmax)
-    return _strand_count(planes, wk, "r", k, t) >= t
+    return _strand_ge(planes, wk, "r", k, t)
 
 
 @functools.partial(jax.jit, static_argnames=("length", "k", "t", "wmax"))
@@ -410,7 +440,7 @@ def search_batch_fwd_packed(planes, codes2, valid, length: int, k: int,
                             t: int, wmax=None):
     codes = unpack_codes(codes2, valid, length)
     wk = window_keys(codes, k, "fwd", wmax)
-    return _strand_count(planes, wk, "f", k, t) >= t
+    return _strand_ge(planes, wk, "f", k, t)
 
 
 @functools.partial(jax.jit, static_argnames=("length", "k", "t", "wmax"))
@@ -418,7 +448,7 @@ def search_batch_rc_packed(planes, codes2, valid, length: int, k: int,
                            t: int, wmax=None):
     codes = unpack_codes(codes2, valid, length)
     wk = window_keys(codes, k, "rc", wmax)
-    return _strand_count(planes, wk, "r", k, t) >= t
+    return _strand_ge(planes, wk, "r", k, t)
 
 
 # --------------------------------------------------------------------------
@@ -513,9 +543,8 @@ def _strand_cascade(planes, wk, p: str, k: int, t: int, V: int, memA=None):
                      & confirmed[:, None, :], axis=2) & sel
     unverified = memA & ~sel
 
-    c = _greedy(conf_w, k, t)
-    ub = _greedy(conf_w | unverified, k, t)
-    return c >= t, ub < t
+    return (greedy_ge(conf_w, k, t),
+            ~greedy_ge(conf_w | unverified, k, t))
 
 
 def _probe_cascade(planes, codes, k: int, t: int, V: int, strand: str,

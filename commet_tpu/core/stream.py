@@ -411,7 +411,7 @@ def probe_exact_sets(sa, sb, sc, sd, mi, codes2, valid, length: int,
         member = (_in_sorted(sa, mi, a) & _in_sorted(sb, mi, b)
                   & _in_sorted(sc, mi, a ^ b) & _in_sorted(sd, mi, a | b)
                   & ok)
-        tagged = tagged | (kernels._greedy(member, k, t) >= t)
+        tagged = tagged | kernels.greedy_ge(member, k, t)
     return tagged
 
 
@@ -487,8 +487,8 @@ def _stream_verdict(wk, mem, k: int, t: int):
     for s in range(2):
         conf = (mem[:, s] == CONF) & ok
         maybe = ((mem[:, s] == CAND) | (mem[:, s] == RESIDUAL)) & ok
-        tag_s = kernels._greedy(conf, k, t) >= t
-        untag_s = kernels._greedy(conf | maybe, k, t) < t
+        tag_s = kernels.greedy_ge(conf, k, t)
+        untag_s = ~kernels.greedy_ge(conf | maybe, k, t)
         tagged = tag_s if tagged is None else (tagged | tag_s)
         untagged = untag_s if untagged is None else (untagged & untag_s)
     return jnp.where(tagged, jnp.int8(kernels.VERDICT_TAGGED),
@@ -523,8 +523,8 @@ def _multi_verdicts(wk, mems, k: int, t: int):
         mem = mems[:, :, st, :].reshape(s * b, w)
         conf = (mem == CONF) & okx
         maybe = ((mem == CAND) | (mem == RESIDUAL)) & okx
-        tag_s = kernels._greedy(conf, k, t) >= t
-        untag_s = kernels._greedy(conf | maybe, k, t) < t
+        tag_s = kernels.greedy_ge(conf, k, t)
+        untag_s = ~kernels.greedy_ge(conf | maybe, k, t)
         tagged = tag_s if tagged is None else (tagged | tag_s)
         untagged = untag_s if untagged is None else (untagged & untag_s)
     v = jnp.where(tagged, jnp.int8(kernels.VERDICT_TAGGED),

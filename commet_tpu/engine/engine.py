@@ -298,10 +298,12 @@ class Engine:
                 self._rep_sharding, self._batch_sharding = \
                     sharded.dp_shardings(mesh)
                 # DP mode also serves the stream probe: index replicated,
-                # batch sharded, every chip streams its shard (k <= 32:
-                # the sharded wrappers carry no hi-bit streams)
-                self.stream = (k <= 32 and self._stream_env_on
-                               and _stream_selfcheck(self._stream_interpret))
+                # batch sharded, every chip streams its shard. Wide keys
+                # (k=33/34, covering the reference default) replicate the
+                # packed hi-bit stream alongside the join planes.
+                self.stream = (self._stream_env_on
+                               and _stream_selfcheck(self._stream_interpret,
+                                                     wide=k > 32))
             else:
                 self._sharded_fns = sharded.build_search_step(mesh, k, t)
 
@@ -597,6 +599,7 @@ class Engine:
                                                 wmax)
         jchunk = _stream.pick_chunk(
             (size // ndev if dp else size) * 2 * wmax, mi_host)
+        wide = self.k > 32
         if dp:
             key = (lpad, wmax, jchunk)
             if key not in self._stream_dp_fns:
@@ -604,23 +607,21 @@ class Engine:
                     self._sharded.stream_search_step(
                         self.mesh, lpad, self.k, self.t, wmax, jchunk,
                         interpret=self._stream_interpret),
-                    self._stream_dp_exact(lpad, wmax)[1])
-            dp_stream, dp_exact = self._stream_dp_fns[key]
+                    self._sharded.stream_search_step(
+                        self.mesh, lpad, self.k, self.t, wmax, jchunk,
+                        interpret=self._stream_interpret, packed=True))
+            dp_stream, dp_stream_packed = self._stream_dp_fns[key]
         pending = []  # (slice, device verdict) -- sync after dispatching
         for start in range(0, len(idx), size):
             chunk_rows = idx[start : start + size]
             c2, vd, ln, clean = enc.gather_packed(chunk_rows, lpad, size)
             sl = slice(start, start + len(chunk_rows))
             if dp:
-                if clean:
-                    verdict = dp_stream(sx.ika, sx.ikb, sx.mi,
-                                        self._dev(c2), self._dev(ln))
-                else:
-                    got = dp_exact(sx.sa, sx.sb, sx.sc, sx.sd, sx.mi,
-                                   self._dev(c2), self._dev(vd))
-                    verdict = jnp.where(
-                        got, jnp.int8(kernels.VERDICT_TAGGED),
-                        jnp.int8(kernels.VERDICT_UNTAGGED))
+                fn = dp_stream if clean else dp_stream_packed
+                aux = self._dev(ln) if clean else self._dev(vd)
+                args = (sx.ika, sx.ikb, sx.mi) + \
+                    ((sx.ihib,) if wide else ()) + (self._dev(c2), aux)
+                verdict = fn(*args)
             elif clean:
                 verdict = _stream.probe_cascade2_stream(
                     sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(ln),

@@ -153,28 +153,178 @@ def build_search_step(mesh: Mesh, k: int, t: int):
 
 
 def stream_search_step(mesh: Mesh, length: int, k: int, t: int, wmax: int,
-                       chunk: int, ki: int = 8, interpret: bool = False):
+                       chunk: int, ki: int = 8, interpret: bool = False,
+                       packed: bool = False):
     """Data-parallel sorted-join stream probe over the mesh: the
     StreamIndex (sorted join planes) replicates, the read batch shards on
     the read axis, and every chip runs the full single-chip stream
     pipeline (sort + banded join + unsort + greedy) on its shard — no
     collectives on the hot path, verdicts come back batch-sharded. This
     scales the modern (gather-free) probe linearly with chips, like DP
-    mode does for the gather cascade."""
+    mode does for the gather cascade.
+
+    k > 32 (the reference's k=33 default, index_and_search.cpp:71)
+    replicates the packed hi-bit stream alongside the join planes.
+    ``packed=True`` builds the dirty-batch variant (reads ship the full
+    1-bit validity plane instead of lengths)."""
     from commet_tpu.core import stream as stream_mod
 
-    fn = functools.partial(stream_mod.probe_cascade2_stream,
-                           length=length, k=k, t=t, wmax=wmax, chunk=chunk,
-                           ki=ki, interpret=interpret)
+    wide = k > 32
+    base = (stream_mod.probe_cascade2_stream_packed if packed
+            else stream_mod.probe_cascade2_stream)
+    fn = functools.partial(base, length=length, k=k, t=t, wmax=wmax,
+                           chunk=chunk, ki=ki, interpret=interpret)
 
-    def _search(ika, ikb, mi, c2, ln):
-        return fn(ika, ikb, mi, c2, ln)
+    if wide:
+        def _search(ika, ikb, mi, ihib, c2, aux):
+            return fn(ika, ikb, mi, c2, aux, ihib=ihib)
+        in_specs = (P(), P(), P(), P(), P("d", None),
+                    P("d", None) if packed else P("d"))
+    else:
+        def _search(ika, ikb, mi, c2, aux):
+            return fn(ika, ikb, mi, c2, aux)
+        in_specs = (P(), P(), P(), P("d", None),
+                    P("d", None) if packed else P("d"))
 
     # check_vma=False: pallas_call's out_shape carries no vma annotation
     return jax.jit(shard_map(
-        _search, mesh=mesh,
-        in_specs=(P(), P(), P(), P("d", None), P("d")),
+        _search, mesh=mesh, in_specs=in_specs,
         out_specs=P("d"), check_vma=False))
+
+
+# --------------------------------------------------------------------------
+# Key-range-sharded StreamIndex: the stream-era analog of plane sharding.
+# When a partition's sorted join planes + exact sets exceed one chip's HBM
+# (mi ~ 1e9 k-mers is 20+ GiB of streams), the flattened keya-sorted arrays
+# split into contiguous row ranges -- each chip owns one key range. Every
+# chip joins the FULL query stream against its slice; per-window verdicts
+# merge with a max over the mesh:
+#
+#   NONMEM(0) < CAND(1) < CONF(2) < RESIDUAL(3)
+#
+# Soundness of the max-merge: only the shard(s) whose key range contains a
+# query key can report CAND/CONF (other shards prove NONMEM through the
+# join kernel's edge relaxations: ih==0 extends coverage below the slice,
+# covers_end above it -- core/stream.py::_join_kernel). All-NONMEM means
+# absent from every slice = absent globally. Any RESIDUAL dominates and
+# routes the read to the (equally sharded) exact fallback. A CONF can be
+# masked by another shard's RESIDUAL -- conservative, never unsound.
+# --------------------------------------------------------------------------
+
+
+def shard_stream_index(sx, n: int, ki: int = 8):
+    """Split a core.stream.StreamIndex into n contiguous key-range slices,
+    as stacked arrays ready for P('d', ...) sharding.
+
+    Returns dict with:
+      ika/ikb [n*rows_per, 128]  (row-sharded join planes; SENTINEL pad)
+      mi_loc  [n] int32          (valid entries inside each slice)
+      sets    [4, n*per] uint32  (sa..sd sliced the same way; None if the
+                                  index has no exact sets, i.e. wide keys)
+      set_mi  [n] int32
+    """
+    import jax.numpy as jnp
+
+    from commet_tpu.core.stream import SENTINEL
+
+    ri = sx.ika.shape[0]
+    rows_per = max(2 * ki, -(-ri // n))
+    rows_per = -(-rows_per // (2 * ki)) * (2 * ki)
+    pad_rows = rows_per * n - ri
+    mi = int(sx.mi)
+
+    def pad_plane(p):
+        if pad_rows:
+            p = jnp.concatenate(
+                [p, jnp.full((pad_rows, 128), SENTINEL, jnp.uint32)])
+        return p
+
+    out = {
+        "ika": pad_plane(sx.ika),
+        "ikb": pad_plane(sx.ikb),
+        "mi_loc": jnp.asarray(
+            np.clip(mi - np.arange(n) * rows_per * 128, 0, rows_per * 128),
+            jnp.int32),
+    }
+    if sx.sa is not None:
+        ln = max(int(s.shape[0]) for s in (sx.sa, sx.sb, sx.sc, sx.sd))
+        per = -(-ln // n)
+        padded = per * n
+        sets = []
+        for s in (sx.sa, sx.sb, sx.sc, sx.sd):
+            if int(s.shape[0]) < padded:
+                s = jnp.concatenate([s, jnp.full(
+                    (padded - int(s.shape[0]),), SENTINEL, jnp.uint32)])
+            sets.append(s.reshape(n, per))
+        out["sets"] = jnp.stack(sets, axis=1)  # [n, 4, per]
+        out["set_mi"] = jnp.asarray(
+            np.clip(mi - np.arange(n) * per, 0, per), jnp.int32)
+    else:
+        out["sets"] = None
+        out["set_mi"] = None
+    return out
+
+
+def sharded_stream_step(mesh: Mesh, length: int, k: int, t: int, wmax: int,
+                        chunk: int, ki: int = 8, interpret: bool = False,
+                        packed: bool = False):
+    """Streamed probe against a key-range-sharded index (shard_stream_index
+    layout): batch replicated, index sharded, verdicts pmax-merged. Narrow
+    keys only (k <= 32). Returns verdicts [B] int8, replicated."""
+    from commet_tpu.core import kernels
+    from commet_tpu.core import stream as stream_mod
+
+    def _search(ika_l, ikb_l, mi_l, c2, aux):
+        if packed:
+            codes = kernels.unpack_codes(c2, aux, length)
+        else:
+            codes = kernels.unpack_codes_clean(c2, aux, length)
+        wk = kernels.window_keys(codes, k, "both", wmax)
+        mem = stream_mod._membership_stream(
+            ika_l, ikb_l, mi_l[0], wk, chunk, ki, interpret)
+        mem = jax.lax.pmax(mem.astype(jnp.int32), "d").astype(jnp.int8)
+        return stream_mod._stream_verdict(wk, mem, k, t)
+
+    return jax.jit(shard_map(
+        _search, mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d"), P(),
+                  P()),
+        out_specs=P(), check_vma=False))
+
+
+def sharded_exact_step(mesh: Mesh, length: int, k: int, t: int, wmax: int):
+    """Exact sorted-set probe against key-range-sharded value sets: each
+    chip tests membership in its slice of each of the four sets; per-set
+    hits OR across the mesh (psum > 0 — equal-value runs may straddle a
+    shard boundary), then AND across sets and greedy count, exactly
+    matching core.stream.probe_exact_sets."""
+    from commet_tpu.core import kernels
+    from commet_tpu.core import stream as stream_mod
+
+    def _exact(sets_l, set_mi_l, c2, vd):
+        codes = kernels.unpack_codes(c2, vd, length)
+        wk = kernels.window_keys(codes, k, "both", wmax)
+        ok = wk["ok"]
+        tagged = None
+        for p in ("f", "r"):
+            a = wk[p + "a_lo"]
+            b = wk[p + "b_lo"]
+            hits = jnp.stack([
+                stream_mod._in_sorted(sets_l[0, 0], set_mi_l[0], a),
+                stream_mod._in_sorted(sets_l[0, 1], set_mi_l[0], b),
+                stream_mod._in_sorted(sets_l[0, 2], set_mi_l[0], a ^ b),
+                stream_mod._in_sorted(sets_l[0, 3], set_mi_l[0], a | b),
+            ]).astype(jnp.int32)
+            hits = jax.lax.psum(hits, "d")  # OR across shards
+            member = (hits > 0).all(axis=0) & ok
+            tag_s = kernels.greedy_ge(member, k, t)
+            tagged = tag_s if tagged is None else (tagged | tag_s)
+        return tagged
+
+    return jax.jit(shard_map(
+        _exact, mesh=mesh,
+        in_specs=(P("d", None, None), P("d"), P(), P()),
+        out_specs=P(), check_vma=False))
 
 
 def stream_exact_step(mesh: Mesh, length: int, k: int, t: int, wmax: int):

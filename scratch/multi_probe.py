@@ -228,3 +228,21 @@ got = verdicts_batched(unsort_multi(spay, joins(sk, skb, 1)), ok, 1)[0]
 agree = (np.asarray(ref) == np.asarray(got)).mean()
 log(f"S=1 verdict agreement with probe_cascade2_stream: {agree:.6f} "
     f"(chunk geometry may differ -> AMBIG rate differs slightly)")
+
+
+# ---- 3. production path (stream.probe_multi_stream_clean, greedy_ge) ----
+for n_s in (1, 8):
+    ikas = tuple(idxs[s][0] for s in range(n_s))
+    ikbs = tuple(idxs[s][1] for s in range(n_s))
+    mis = tuple(idxs[s][2] for s in range(n_s))
+
+    def prod(n_s=n_s, ikas=ikas, ikbs=ikbs, mis=mis):
+        return stream.probe_multi_stream_clean(
+            ikas, ikbs, mis, qc2d, lensd, lpad, K, T, W, chunk, ki)
+
+    best = timed(prod, 3, f"production probe_multi S={n_s}")
+    log(f"  -> per-pair {best/n_s*1000:.1f} ms = "
+        f"{N_QRY/(best/n_s):,.0f} reads/s/pair")
+v = np.asarray(prod())
+log(f"verdict counts S=8 slot0: tagged={int((v[0]==2).sum())} "
+    f"untag={int((v[0]==0).sum())} ambig={int((v[0]==1).sum())}")

@@ -235,6 +235,88 @@ def test_dp_mesh_forced_stream_matches(tmp_path, monkeypatch):
                                   np.asarray(rs_q1.result_bvs[0].data))
 
 
+def test_dp_mesh_wide_stream_matches(tmp_path, monkeypatch):
+    """k=33 (the reference default) DP stream: the packed hi-bit stream
+    replicates alongside the join planes; multi-chip tags must equal the
+    single-chip engine's byte for byte (VERDICT r3 gap: wide-key DP used
+    to fall back to the gather cascade)."""
+    import jax
+
+    from commet_tpu.parallel import sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = sharded.make_mesh(8)
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    k33 = 33
+    rng = np.random.default_rng(23)
+    idx_fa = str(tmp_path / "idx.fa")
+    qry_fa = str(tmp_path / "qry.fa")
+    donors = write_fasta(idx_fa, rng, 100, 120, k=k33)
+    write_fasta(qry_fa, rng, 144, 120, donors=donors, k=k33)
+
+    def mkset(name, f):
+        rs = ReadSet(name)
+        rs.add_file(f)
+        return rs
+
+    eng = Engine(k=k33, t=T, batch=2048, mesh=mesh, mesh_mode="dp")
+    assert eng.stream, "wide-key DP stream must be on when forced"
+    rs_q = mkset("Q", qry_fa)
+    got = eng.index_and_search(mkset("I", idx_fa), [rs_q], save=False)
+
+    eng1 = Engine(k=k33, t=T, batch=2048)
+    rs_q1 = mkset("Q", qry_fa)
+    want = eng1.index_and_search(mkset("I", idx_fa), [rs_q1], save=False)
+    assert got["Q"]["shared"] == want["Q"]["shared"] > 0
+    np.testing.assert_array_equal(np.asarray(rs_q.result_bvs[0].data),
+                                  np.asarray(rs_q1.result_bvs[0].data))
+
+
+def test_dp_mesh_dirty_batches_stream(tmp_path, monkeypatch):
+    """Reads with N bases under DP: dirty batches route through the packed
+    DP stream wrapper (validity plane shipped) + the fallback; tags equal
+    single-chip."""
+    import jax
+
+    from commet_tpu.parallel import sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = sharded.make_mesh(8)
+
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    rng = np.random.default_rng(29)
+    idx_fa = str(tmp_path / "idx.fa")
+    qry_fa = str(tmp_path / "qry.fa")
+    donors = write_fasta(idx_fa, rng, 120, 90)
+    seqs = write_fasta(qry_fa, rng, 160, 90, donors=donors)
+    # poison some query reads with N (dirty batches)
+    with open(qry_fa, "wb") as f:
+        for i, s in enumerate(seqs):
+            if i % 5 == 1:
+                s = s[:40] + b"N" + s[41:]
+            f.write(b">r%d\n%s\n" % (i, s))
+
+    def mkset(name, fpath):
+        rs = ReadSet(name)
+        rs.add_file(fpath)
+        return rs
+
+    eng = Engine(k=K, t=T, batch=2048, mesh=mesh, mesh_mode="dp")
+    rs_q = mkset("Q", qry_fa)
+    got = eng.index_and_search(mkset("I", idx_fa), [rs_q], save=False)
+    eng1 = Engine(k=K, t=T, batch=2048)
+    rs_q1 = mkset("Q", qry_fa)
+    want = eng1.index_and_search(mkset("I", idx_fa), [rs_q1], save=False)
+    assert got["Q"]["shared"] == want["Q"]["shared"] > 0
+    np.testing.assert_array_equal(np.asarray(rs_q.result_bvs[0].data),
+                                  np.asarray(rs_q1.result_bvs[0].data))
+
+
 def test_poisoned_stream_falls_back(tmp_path, monkeypatch):
     """A stream module that raises must disable itself via the self-check;
     the engine still produces correct results through the gather cascade."""

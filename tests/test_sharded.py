@@ -159,3 +159,69 @@ def test_engine_dp_mode_counters(mesh, tmp_path):
     assert c_1["B"]["shared"] > 0
     for key in ("indexed", "searched", "shared"):
         assert c_dp["B"][key] == c_1["B"][key]
+
+
+def test_sharded_stream_index_matches_single(mesh):
+    """Key-range-sharded StreamIndex (VERDICT r3 #8): each chip owns a
+    contiguous keya range of the sorted join planes + exact sets; the
+    pmax-merged verdicts plus the psum-OR exact fallback must reproduce
+    the single-device stream path's final tags exactly."""
+    from commet_tpu.core import stream
+
+    k, t = 15, 2
+    rng = np.random.default_rng(4321)
+    n_idx, n_qry, length = 90, 128, 64
+    idx = rng.integers(0, 4, size=(n_idx, length)).astype(np.int32)
+    qry = rng.integers(0, 4, size=(n_qry, length)).astype(np.int32)
+    # implant shared fragments into half the queries
+    half = n_qry // 2
+    frag = 2 * k
+    dn = idx[rng.integers(0, n_idx, size=half)]
+    ds = rng.integers(0, length - frag + 1, size=half)
+    qs = rng.integers(0, length - frag + 1, size=half)
+    rows = np.arange(half)[:, None]
+    cols = np.arange(frag)
+    qry[rows, qs[:, None] + cols] = dn[rows, ds[:, None] + cols]
+
+    ka, kb, hib, flags, cnt = stream.chunk_index_keys_codes(
+        jnp.asarray(idx), k)
+    sx = stream.finalize_index([ka], [kb], [hib], [flags], [int(cnt)],
+                               ki=2)
+    wmax = length - k + 1
+    chunk = 512
+
+    # single-device reference result (verdicts + exact fallback)
+    v1 = np.asarray(stream.probe_cascade2_stream_codes(
+        sx.ika, sx.ikb, sx.mi, jnp.asarray(qry), k, t, wmax, chunk, ki=2,
+        interpret=True))
+    tags_want = v1 == kernels.VERDICT_TAGGED
+    amb1 = np.nonzero(v1 == kernels.VERDICT_AMBIG)[0]
+    qc2, qvd = kernels.pack_codes_np(qry.astype(np.uint8))
+    if len(amb1):
+        got = np.asarray(stream.probe_exact_sets(
+            sx.sa, sx.sb, sx.sc, sx.sd, sx.mi, jnp.asarray(qc2[amb1]),
+            jnp.asarray(qvd[amb1]), length, k, t, wmax))
+        tags_want[amb1] = got
+
+    # sharded: forced-small slices across the 8-device mesh
+    shards = sharded.shard_stream_index(sx, 8, ki=2)
+    assert int(shards["mi_loc"].sum()) == int(sx.mi)
+    step = sharded.sharded_stream_step(mesh, length, k, t, wmax, chunk,
+                                       ki=2, interpret=True)
+    lens = jnp.full((n_qry,), length, jnp.int32)
+    c2only = kernels.pack_codes2_np(qry.astype(np.uint8))
+    v8 = np.asarray(step(shards["ika"], shards["ikb"], shards["mi_loc"],
+                         jnp.asarray(c2only), lens))
+    tags = v8 == kernels.VERDICT_TAGGED
+    amb = np.nonzero(v8 == kernels.VERDICT_AMBIG)[0]
+    # sharded verdicts may be more conservative (a shard's RESIDUAL can
+    # mask another's CONF) but never contradictory
+    dec = v8 != kernels.VERDICT_AMBIG
+    assert (tags[dec] == tags_want[dec]).all()
+    if len(amb):
+        ex = sharded.sharded_exact_step(mesh, length, k, t, wmax)
+        got = np.asarray(ex(shards["sets"], shards["set_mi"],
+                            jnp.asarray(qc2[amb]), jnp.asarray(qvd[amb])))
+        tags[amb] = got
+    np.testing.assert_array_equal(tags, tags_want)
+    assert tags.sum() > 0
