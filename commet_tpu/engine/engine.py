@@ -264,6 +264,10 @@ class Engine:
         self.stream = self._stream_env_on and mesh is None  # may widen below
         self.stream_batch = int(os.environ.get("COMMET_TPU_STREAM_BATCH",
                                                "65536"))
+        # host-IO pipeline: background-thread gather+pack of batch N+1
+        # while the device runs batch N (COMMET_TPU_PREFETCH=0 disables)
+        self.prefetch = os.environ.get("COMMET_TPU_PREFETCH", "1") != "0"
+
         if self.stream and not _stream_selfcheck(self._stream_interpret,
                                                  wide=k > 32):
             self.stream = False
@@ -334,18 +338,45 @@ class Engine:
             yield slice(start, start + len(chunk)), codes
 
     def _batched_packed(self, enc: EncodedSet, idx: np.ndarray,
-                        lpad: int, bucket: bool = False):
+                        lpad: int, bucket: bool = False,
+                        size: Optional[int] = None):
         """Yield (row_slice, codes2, valid, lens, clean) wire-format batches
-        (see _batched_codes for the bucketing rule)."""
+        (see _batched_codes for the bucketing rule).
+
+        Host-IO pipeline: the NEXT batch's gather+pack runs on a background
+        thread while the caller dispatches/uploads the current one (the
+        native assembler releases the GIL), so host packing overlaps device
+        compute instead of serializing with it — the reference's
+        single-threaded read loop (include/fastq_file.h:353-684) has no
+        such overlap to give."""
         if len(idx) == 0:
             return
-        size = self.batch
-        if bucket:
-            size = _bucket_size(len(idx), self.batch, self.mesh)
-        for start in range(0, len(idx), size):
+        if size is None:
+            size = self.batch
+            if bucket:
+                size = _bucket_size(len(idx), self.batch, self.mesh)
+        starts = list(range(0, len(idx), size))
+
+        def job(start):
             chunk = idx[start : start + size]
             c2, vd, ln, clean = enc.gather_packed(chunk, lpad, size)
-            yield slice(start, start + len(chunk)), c2, vd, ln, clean
+            return slice(start, start + len(chunk)), c2, vd, ln, clean
+
+        if len(starts) == 1 or not self.prefetch:
+            for start in starts:
+                yield job(start)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = ex.submit(job, starts[0])
+            for nxt in starts[1:]:
+                cur = fut.result()
+                fut = ex.submit(job, nxt)
+                yield cur
+            yield fut.result()
+        finally:
+            ex.shutdown(wait=False)
 
     @staticmethod
     def _native():
@@ -612,10 +643,8 @@ class Engine:
                         interpret=self._stream_interpret, packed=True))
             dp_stream, dp_stream_packed = self._stream_dp_fns[key]
         pending = []  # (slice, device verdict) -- sync after dispatching
-        for start in range(0, len(idx), size):
-            chunk_rows = idx[start : start + size]
-            c2, vd, ln, clean = enc.gather_packed(chunk_rows, lpad, size)
-            sl = slice(start, start + len(chunk_rows))
+        for sl, c2, vd, ln, clean in self._batched_packed(enc, idx, lpad,
+                                                          size=size):
             if dp:
                 fn = dp_stream if clean else dp_stream_packed
                 aux = self._dev(ln) if clean else self._dev(vd)
@@ -891,9 +920,8 @@ class Engine:
                 ikbs = tuple(sx.ikb for _ri, sx in group)
                 mis = tuple(sx.mi for _ri, sx in group)
                 pending = []
-                for start in range(0, len(cand), size):
-                    rows = cand[start : start + size]
-                    c2, vd, ln, clean = enc_q.gather_packed(rows, lpad, size)
+                for _sl, c2, vd, ln, clean in self._batched_packed(
+                        enc_q, cand, lpad, size=size):
                     if clean:
                         v = _stream.probe_multi_stream_clean(
                             ikas, ikbs, mis, self._dev(c2), self._dev(ln),
@@ -904,7 +932,7 @@ class Engine:
                             ikas, ikbs, mis, self._dev(c2), self._dev(vd),
                             lpad, self.k, self.t, wmax, jchunk,
                             interpret=self._stream_interpret)
-                    pending.append((slice(start, start + len(rows)), v))
+                    pending.append((_sl, v))
                 amb_slot = [[] for _ in group]
                 for sl, v in pending:
                     got = np.asarray(v)[:, : sl.stop - sl.start]
