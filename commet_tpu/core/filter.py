@@ -78,6 +78,29 @@ def filter_reads(seqs: List[bytes], min_size: int = 0,
                                max_reads=max_reads)
 
 
+def filter_batch_device(codes2, valid, lengths, length: int,
+                        min_size: int = 0, max_n: int = 2**31 - 1,
+                        min_shannon: float = 0.0, max_reads: int = -1):
+    """Device-assisted filter for packed batches already on (or bound for)
+    the device: the O(N*L) per-base class counting runs as a TPU kernel
+    (kernels.class_counts_packed); the O(5)-per-read float32-exact Shannon
+    decision finishes on the host (bit-exact vs the reference's glibc
+    logf arithmetic, which TPU transcendentals cannot reproduce). The
+    file-level filter_reads CLI keeps the native-parser host path — the
+    parse already produces class counts in one pass, so shipping bases to
+    the device only to count them would be upload-bound; this entry point
+    serves engine-integrated pipelines whose batches are device-resident
+    anyway."""
+    from commet_tpu.core import kernels
+
+    counts = np.asarray(kernels.class_counts_packed(
+        codes2, valid, np.asarray(lengths, np.int32), length)
+    ).astype(np.int64)
+    return filter_reads_counts(counts, np.asarray(lengths, np.int64),
+                               min_size=min_size, max_n=max_n,
+                               min_shannon=min_shannon, max_reads=max_reads)
+
+
 def filter_reads_counts(counts: np.ndarray, lengths: np.ndarray,
                         min_size: int = 0, max_n: int = 2**31 - 1,
                         min_shannon: float = 0.0, max_reads: int = -1):
