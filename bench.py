@@ -788,9 +788,79 @@ def bench_pair(index_codes, query_codes, expect_shared):
         # workload, this very run)
         out["ref_search_reads_per_sec"] = round(N_QUERY / ref_search_s, 1)
         out["ref_build_reads_per_sec"] = round(N_INDEX / ref_index_s, 1)
+    try:
+        out.update(bench_hostio(workdir, idx_fa))
+    except Exception as exc:
+        log(f"host-IO benchmark skipped: {exc}")
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
 
+def bench_hostio(workdir, idx_fa):
+    """Host-IO pipeline at scale: a 1M-read query set (a 1/10 slice of
+    BASELINE config 3's 10M-read sets) searched against the 100k-read
+    index through the engine, with the background gather+pack prefetch ON
+    vs OFF. Reports the sustained end-to-end rate and the overlap gain."""
+    import os
+
+    from commet_tpu.engine.engine import Engine
+    from commet_tpu.io.reads import ReadSet
+
+    NBIG = 1_000_000
+    rng = np.random.default_rng(9)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    big_fa = os.path.join(workdir, "qbig.fa")
+    t0 = time.time()
+    with open(big_fa, "wb") as f:
+        for s in range(0, NBIG, 250_000):
+            cnt = min(250_000, NBIG - s)
+            codes = rng.integers(0, 4, size=(cnt, READ_LEN), dtype=np.int8)
+            seqs = lut[codes.astype(np.int64)]
+            f.write(b"".join(b">r%d\n%s\n" % (s + i, seqs[i].tobytes())
+                             for i in range(cnt)))
+    log(f"host-IO workload ({NBIG} query reads) written in "
+        f"{time.time()-t0:.1f}s")
+    out = {}
+    saved = os.environ.get("COMMET_TPU_PREFETCH")
+    try:
+        for pf in ("0", "1"):
+            os.environ["COMMET_TPU_PREFETCH"] = pf
+            rs_i = ReadSet("I")
+            rs_i.add_file(idx_fa)
+            rs_q = ReadSet("QB")
+            rs_q.add_file(big_fa)
+            eng = Engine(k=K, t=T, batch=BATCH)
+            wait_for_healthy_tunnel(tries=2)
+            t0 = time.time()
+            c = eng.index_and_search(rs_i, [rs_q], save=False)["QB"]
+            dt = time.time() - t0
+            rate = NBIG / c["search_time"]
+            log(f"host-IO 1M-read pair (prefetch={pf}): {dt:.1f}s, search "
+                f"{c['search_time']:.1f}s = {rate:,.0f} reads/s, shared "
+                f"{c['shared']}")
+            if pf == "0":
+                out["hostio_pair_seconds_noprefetch"] = round(dt, 2)
+            else:
+                out["hostio_pair_seconds"] = round(dt, 2)
+                out["hostio_reads_per_sec"] = round(rate, 1)
+                out["hostio_overlap_speedup"] = round(
+                    out["hostio_pair_seconds_noprefetch"] / dt, 3)
+                out["hostio_shared"] = c["shared"]
+    finally:
+        if saved is None:
+            os.environ.pop("COMMET_TPU_PREFETCH", None)
+        else:
+            os.environ["COMMET_TPU_PREFETCH"] = saved
+    return out
+
+
 if __name__ == "__main__":
-    main()
+    if "--fill33" in sys.argv:
+        # one-off full-default-regime run: k=33 at its own max_kmer (1e9
+        # k-mers, 12.8M index reads, 4 GiB reference Bloom array) -- too
+        # heavy for the per-round bench; results recorded in BENCH_NOTES.md
+        from commet_tpu.config import enable_compile_cache
+        enable_compile_cache()
+        print(json.dumps(bench_realfill(KF=33)))
+    else:
+        main()

@@ -766,6 +766,13 @@ class Engine:
         if self._verify_v < 16:
             rounds.append(16)
         amb = np.arange(len(idx))
+        # probe batches run larger than the assembly batch: fewer dispatches
+        # amortize the fixed per-call cost (33 ms/call on the tunneled
+        # platform); swept live at 65536
+        psize = _bucket_size(len(idx),
+                             max(self.batch,
+                                 int(os.environ.get("COMMET_TPU_PROBE_BATCH",
+                                                    "65536"))), self.mesh)
         for v in rounds:
             if not len(amb):
                 return tags
@@ -779,7 +786,9 @@ class Engine:
                         self.k, self.t, v, wmax)))
             else:
                 for sl, c2, vd, ln, clean in self._batched_packed(
-                        enc, rows, lpad, bucket=True):
+                        enc, rows, lpad,
+                        size=min(psize, _bucket_size(len(rows), psize,
+                                                     self.mesh))):
                     if clean:
                         verdict = kernels.probe_cascade2_clean(
                             planes, self._dev(c2), self._dev(ln), lpad,
@@ -1023,7 +1032,11 @@ class Engine:
             # denser planes -> more A-hits per negative read -> verify more
             # positions to keep the AMBIG fallback rate low
             fill = float(kcounts[part].sum()) / float(2 ** self.k)
-            self._verify_v = 4 if fill < 0.02 else (12 if fill < 0.15 else 24)
+            # V swept live on the v5e at the default-regime fill (11.6%,
+            # scratch round-4 notes): V=8 beats V=12 by ~1.25x -- 2V=16
+            # covers the ~9-hit/strand mean with a small AMBIG tail that
+            # the V=16 second round + exact fallback absorb
+            self._verify_v = 4 if fill < 0.02 else (8 if fill < 0.15 else 24)
             # stream-serving partitions skip the bit planes entirely: the
             # StreamIndex (sorted join planes + exact-fallback sets) is the
             # whole membership structure (decided from the fill upper
