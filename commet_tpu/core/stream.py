@@ -536,13 +536,16 @@ def _multi_verdicts(wk, mems, k: int, t: int):
 def _membership_stream_multi(idxs, wk, chunk: int, ki: int,
                              interpret: bool):
     """Joined verdicts for every (index, read, strand, window) tuple from
-    ONE sorted query stream. idxs: sequence of (ika, ikb, mi) triples
-    (k <= 32 narrow keys). Returns mems [S, B, 2, W] int32.
+    ONE sorted query stream. idxs: sequence of (ika, ikb, mi, ihib)
+    4-tuples — ihib None for narrow keys (k <= 32), the packed hi-bit
+    plane for wide keys (k = 33/34, the reference default).
+    Returns mems [S, B, 2, W] int32.
 
     The unsort carries ceil(S/15) packed uint32 operands (15 x 2-bit
     verdicts each; the top 2 bits stay zero so the SENTINEL-keyed padding
     rows cannot alias a real payload's packed word). One 2-operand sort
     replaces S single-operand unsorts."""
+    wide = idxs[0][3] is not None
     ok = wk["ok"]
     b, w = ok.shape
     qa = jnp.where(ok, wk["fa_lo"], 0)
@@ -551,6 +554,11 @@ def _membership_stream_multi(idxs, wk, chunk: int, ki: int,
     rb = jnp.where(ok, wk["rb_lo"], 0)
     q = jnp.stack([qa, ra], axis=1).reshape(-1)
     q2 = jnp.stack([qb, rb], axis=1).reshape(-1)
+    operands = [q, q2]
+    if wide:
+        qh = jnp.where(ok, (wk["fa_hi"] << 8) | wk["fb_hi"], 0)
+        rh = jnp.where(ok, (wk["ra_hi"] << 8) | wk["rb_hi"], 0)
+        operands.append(jnp.stack([qh, rh], axis=1).reshape(-1))
     m = b * 2 * w
     mpad = _round_up(m, chunk)
     assert mpad <= MAX_UNSORT_KEYS, (
@@ -559,16 +567,20 @@ def _membership_stream_multi(idxs, wk, chunk: int, ki: int,
     pay = jnp.arange(mpad, dtype=jnp.uint32)
     if mpad != m:
         padv = jnp.full((mpad - m,), SENTINEL, jnp.uint32)
-        q = jnp.concatenate([q, padv])
-        q2 = jnp.concatenate([q2, padv])
-    sk, skb, spay = jax.lax.sort([q, q2, pay], num_keys=1)
+        operands = [jnp.concatenate([op, padv]) for op in operands]
+    out = jax.lax.sort(operands + [pay], num_keys=1)
+    if wide:
+        sk, skb, skh, spay = out
+    else:
+        sk, skb, spay = out
+        skh = None
     n_s = len(idxs)
     words = []
     for base in range(0, n_s, 15):
         packed = jnp.zeros(mpad, jnp.uint32)
-        for off, (ika, ikb, mi) in enumerate(idxs[base : base + 15]):
+        for off, (ika, ikb, mi, ihib) in enumerate(idxs[base : base + 15]):
             mem = join_membership(ika, ikb, mi, sk, skb, chunk, ki,
-                                  interpret)
+                                  interpret, ihib=ihib, qh_sorted=skh)
             packed = packed | (mem.astype(jnp.uint32) << (2 * off))
         words.append(packed)
     out = jax.lax.sort([spay] + words, num_keys=1)
@@ -581,10 +593,12 @@ def _membership_stream_multi(idxs, wk, chunk: int, ki: int,
 
 
 def _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
-                      interpret):
+                      interpret, ihibs=None):
     from commet_tpu.core import kernels
     wk = kernels.window_keys(codes, k, "both", wmax)
-    idxs = list(zip(ikas, ikbs, mis))
+    if ihibs is None:
+        ihibs = (None,) * len(ikas)
+    idxs = list(zip(ikas, ikbs, mis, ihibs))
     mems = _membership_stream_multi(idxs, wk, chunk, ki, interpret)
     return _multi_verdicts(wk, mems, k, t)
 
@@ -593,40 +607,42 @@ def _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
     "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
 def probe_multi_stream_clean(ikas, ikbs, mis, codes2, lengths, length: int,
                              k: int, t: int, wmax=None, chunk: int = 2048,
-                             ki: int = 8, interpret: bool = False):
+                             ki: int = 8, interpret: bool = False,
+                             ihibs=None):
     """Amortized S-index streamed probe for N-free batches (k <= 32):
     one query sort + one packed unsort serve every (index, partition) in
     ikas/ikbs/mis (tuples of join planes). Returns [S, B] int8 verdicts
     with the same semantics as probe_cascade2_stream per index."""
-    assert k <= 32, "multi-index streaming is a narrow-key (k <= 32) path"
+    assert k <= 34, f"multi-index streaming supports k <= 34, got {k}"
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes_clean(codes2, lengths, length)
     return _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
-                             interpret)
+                             interpret, ihibs)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "length", "k", "t", "wmax", "chunk", "ki", "interpret"))
 def probe_multi_stream_packed(ikas, ikbs, mis, codes2, valid, length: int,
                               k: int, t: int, wmax=None, chunk: int = 2048,
-                              ki: int = 8, interpret: bool = False):
+                              ki: int = 8, interpret: bool = False,
+                              ihibs=None):
     """probe_multi_stream_clean for dirty batches (full validity plane)."""
-    assert k <= 32, "multi-index streaming is a narrow-key (k <= 32) path"
+    assert k <= 34, f"multi-index streaming supports k <= 34, got {k}"
     from commet_tpu.core import kernels
     codes = kernels.unpack_codes(codes2, valid, length)
     return _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
-                             interpret)
+                             interpret, ihibs)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "t", "wmax", "chunk", "ki", "interpret"))
 def probe_multi_stream_codes(ikas, ikbs, mis, codes, k: int, t: int,
                              wmax=None, chunk: int = 2048, ki: int = 8,
-                             interpret: bool = False):
+                             interpret: bool = False, ihibs=None):
     """probe_multi_stream for plain int32 code batches (CPU/tests)."""
-    assert k <= 32, "multi-index streaming is a narrow-key (k <= 32) path"
+    assert k <= 34, f"multi-index streaming supports k <= 34, got {k}"
     return _probe_multi_impl(ikas, ikbs, mis, codes, k, t, wmax, chunk, ki,
-                             interpret)
+                             interpret, ihibs)
 
 
 @functools.partial(jax.jit, static_argnames=(

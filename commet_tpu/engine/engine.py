@@ -217,6 +217,31 @@ class ResidentIndex:
     nb_indexed: int
     total_kmers: int
     build_seconds: float
+    # lazy per-partition host exact sets for the wide-key (k > 32) AMBIG
+    # fallback: sorted uint64 value multisets of the four reference planes
+    # (A=keya, B=keyb, C=a^b, D=a|b), pulled from the device join planes
+    # on first use. AMBIG residues are tiny (~0.1% of reads), so a host
+    # searchsorted resolves them exactly without 4 GiB bit planes per
+    # resident index.
+    host_exact: List = field(default_factory=list)
+
+    def host_exact_sets(self, pi: int):
+        if not self.host_exact:
+            self.host_exact = [None] * len(self.partitions)
+        if self.host_exact[pi] is None:
+            sx = self.partitions[pi]
+            mi = int(sx.mi)
+            a_lo = np.asarray(sx.ika).reshape(-1)[:mi].astype(np.uint64)
+            b_lo = np.asarray(sx.ikb).reshape(-1)[:mi].astype(np.uint64)
+            if sx.ihib is not None:
+                hib = np.asarray(sx.ihib).reshape(-1)[:mi].astype(np.uint64)
+                a = (hib >> np.uint64(8) << np.uint64(32)) | a_lo
+                b = ((hib & np.uint64(0xFF)) << np.uint64(32)) | b_lo
+            else:
+                a, b = a_lo, b_lo
+            self.host_exact[pi] = tuple(
+                np.sort(v) for v in (a, b, a ^ b, a | b))
+        return self.host_exact[pi]
 
     def device_bytes(self) -> int:
         tot = 0
@@ -825,7 +850,7 @@ class Engine:
         serve it (stream off, wide keys, mesh mode, high fill, or the
         device-memory budget COMMET_TPU_RESIDENT_BUDGET would be exceeded)
         -- callers fall back to the pairwise index_and_search path."""
-        if not (self.stream and self.k <= 32 and self.mesh is None):
+        if not (self.stream and self.k <= 34 and self.mesh is None):
             return None
         from commet_tpu.core import stream as _stream
         t0 = time.time()
@@ -863,7 +888,7 @@ class Engine:
             sx = _stream.finalize_index(
                 [c[0] for c in collect], [c[1] for c in collect],
                 [c[2] for c in collect], [c[3] for c in collect],
-                [int(c[4]) for c in collect])
+                [int(c[4]) for c in collect], wide=self.k > 32)
             sxs.append(sx)
         if sxs:
             jax.block_until_ready(sxs[-1].ika)
@@ -888,6 +913,57 @@ class Engine:
             tags[rows] = np.asarray(got)[:n]
         return tags
 
+    def _host_exact_wide(self, sets_u64, enc: EncodedSet,
+                         rows_idx: np.ndarray, lpad: int,
+                         wmax: int) -> np.ndarray:
+        """Host-side exact reference-Bloom classification for wide keys
+        (k > 32): window keys computed on device, membership of all four
+        derived values tested with np.searchsorted against the partition's
+        sorted uint64 multisets, greedy non-overlap count per strand
+        (search_reads.h:34-87). Used only on the tiny wide-multi AMBIG
+        residue, where per-resident 4 GiB bit planes are not affordable."""
+        sa, sb, sc, sd = sets_u64
+        tags = np.zeros(len(rows_idx), dtype=bool)
+        for start in range(0, len(rows_idx), self.batch):
+            rows = slice(start, min(start + self.batch, len(rows_idx)))
+            n = rows.stop - rows.start
+            bsize = _bucket_size(n, self.batch, None)
+            c2, vd, _ln, _cl = enc.gather_packed(rows_idx[rows], lpad,
+                                                 bsize)
+            codes = kernels.unpack_codes(jnp.asarray(c2), jnp.asarray(vd),
+                                         lpad)
+            wk = kernels.window_keys(codes, self.k, "both", wmax)
+            ok = np.asarray(wk["ok"])[:n]
+
+            def u64(pref):
+                lo = np.asarray(wk[pref + "_lo"])[:n].astype(np.uint64)
+                hi = np.asarray(wk[pref + "_hi"])[:n].astype(np.uint64)
+                return (hi << np.uint64(32)) | lo
+
+            got = np.zeros(n, dtype=bool)
+            for p in ("f", "r"):
+                a = u64(p + "a")
+                b = u64(p + "b")
+                member = ok.copy()
+                for arr, vals in ((sa, a), (sb, b), (sc, a ^ b),
+                                  (sd, a | b)):
+                    pos = np.searchsorted(arr, vals)
+                    hit = np.zeros_like(member)
+                    inb = pos < len(arr)
+                    hit[inb] = arr[np.minimum(pos[inb], len(arr) - 1)] \
+                        == vals[inb]
+                    member &= hit
+                # greedy non-overlapping count capped at t, per read
+                cnt = np.zeros(n, dtype=np.int64)
+                allow = np.zeros(n, dtype=np.int64)
+                for w in range(member.shape[1]):
+                    h = member[:, w] & (w >= allow) & (cnt < self.t)
+                    cnt += h
+                    allow = np.where(h, w + self.k, allow)
+                got |= cnt >= self.t
+            tags[rows] = got
+        return tags
+
     def search_multi_set(self, query_set: ReadSet,
                          residents: List[ResidentIndex],
                          out_dir: Optional[str] = None,
@@ -904,8 +980,8 @@ class Engine:
         t_start = time.time()
         enc_q = EncodedSet(query_set)
         cand = query_set.untagged_eligible()
-        slots = [(ri, sx) for ri, r in enumerate(residents)
-                 for sx in r.partitions]
+        slots = [(ri, pi, sx) for ri, r in enumerate(residents)
+                 for pi, sx in enumerate(r.partitions)]
         tags_slot = np.zeros((len(slots), len(cand)), dtype=bool)
         if len(cand) and slots:
             lengths = enc_q.read_lengths(cand)
@@ -918,16 +994,19 @@ class Engine:
                 size //= 2
             if size * 2 * wmax > _stream.MAX_UNSORT_KEYS:
                 raise ValueError("reads too long for the streamed probe")
-            mi_max = max(1, max(int(sx.mi) for _ri, sx in slots))
+            mi_max = max(1, max(int(sx.mi) for _ri, _pi, sx in slots))
             jchunk = _stream.pick_chunk(size * 2 * wmax, mi_max)
             # groups bound the unpacked [S, B, 2, W] verdict volume
             groups = [slots[i : i + max_slots]
                       for i in range(0, len(slots), max_slots)]
             base = 0
+            wide = self.k > 32
             for group in groups:
-                ikas = tuple(sx.ika for _ri, sx in group)
-                ikbs = tuple(sx.ikb for _ri, sx in group)
-                mis = tuple(sx.mi for _ri, sx in group)
+                ikas = tuple(sx.ika for _ri, _pi, sx in group)
+                ikbs = tuple(sx.ikb for _ri, _pi, sx in group)
+                mis = tuple(sx.mi for _ri, _pi, sx in group)
+                ihibs = tuple(sx.ihib for _ri, _pi, sx in group) if wide \
+                    else None
                 pending = []
                 for _sl, c2, vd, ln, clean in self._batched_packed(
                         enc_q, cand, lpad, size=size):
@@ -935,12 +1014,12 @@ class Engine:
                         v = _stream.probe_multi_stream_clean(
                             ikas, ikbs, mis, self._dev(c2), self._dev(ln),
                             lpad, self.k, self.t, wmax, jchunk,
-                            interpret=self._stream_interpret)
+                            interpret=self._stream_interpret, ihibs=ihibs)
                     else:
                         v = _stream.probe_multi_stream_packed(
                             ikas, ikbs, mis, self._dev(c2), self._dev(vd),
                             lpad, self.k, self.t, wmax, jchunk,
-                            interpret=self._stream_interpret)
+                            interpret=self._stream_interpret, ihibs=ihibs)
                     pending.append((_sl, v))
                 amb_slot = [[] for _ in group]
                 for sl, v in pending:
@@ -950,12 +1029,18 @@ class Engine:
                     for s in range(len(group)):
                         amb_slot[s].append(np.arange(sl.start, sl.stop)[
                             got[s] == kernels.VERDICT_AMBIG])
-                for s, (_ri, sx) in enumerate(group):
+                for s, (ri, pi, sx) in enumerate(group):
                     amb = (np.concatenate(amb_slot[s]) if amb_slot[s]
                            else np.zeros(0, dtype=np.int64))
-                    if len(amb):
+                    if not len(amb):
+                        continue
+                    if sx.sa is not None:
                         tags_slot[base + s, amb] = self._exact_sets_rows(
                             sx, enc_q, cand[amb], lpad, wmax)
+                    else:  # wide keys: host exact sets (planeless)
+                        tags_slot[base + s, amb] = self._host_exact_wide(
+                            residents[ri].host_exact_sets(pi), enc_q,
+                            cand[amb], lpad, wmax)
                 base += len(group)
         search_elapsed = time.time() - t_start
         counters = {}

@@ -146,8 +146,12 @@ def test_build_resident_refuses_unservable(tmp_path, monkeypatch):
     fresh_selfcheck(monkeypatch)
     monkeypatch.setenv("COMMET_TPU_STREAM", "force")
     idx_sets, _ = _mk(tmp_path, rng, n_idx_sets=1)
+    eng35 = Engine(k=35, t=T, batch=64)  # beyond the 34-bit stream domain
+    assert eng35.build_resident(idx_sets[0]) is None
+    # k=33 (wide keys) IS servable since round 4
     eng33 = Engine(k=33, t=T, batch=64)
-    assert eng33.build_resident(idx_sets[0]) is None
+    r33 = eng33.build_resident(idx_sets[0])
+    assert r33 is not None and r33.partitions[0].ihib is not None
 
     monkeypatch.setenv("COMMET_TPU_RESIDENT_BUDGET", "10")
     eng = Engine(k=K, t=T, batch=64)
@@ -158,3 +162,51 @@ def test_build_resident_refuses_unservable(tmp_path, monkeypatch):
     fresh_selfcheck(monkeypatch)
     eng_off = Engine(k=K, t=T, batch=64)
     assert eng_off.build_resident(idx_sets[0]) is None
+
+
+def test_multi_wide_matches_pairwise(tmp_path, monkeypatch):
+    """k=33 (the reference default) amortized engine path: wide-key joins
+    carry the packed hi-bit streams; the tiny AMBIG residue resolves
+    through the host-side exact uint64 sets (no per-index bit planes).
+    Tags/counters/bvs must equal the pairwise path byte for byte."""
+    rng = np.random.default_rng(3131)
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    k33 = 33
+    idx_sets = []
+    donors = None
+    for s in range(2):
+        fa = str(tmp_path / f"idx{s}.fa")
+        d = write_fasta(fa, rng, 50, 110, k=k33)
+        donors = donors or d
+        rs = ReadSet(f"I{s}")
+        rs.add_file(fa)
+        idx_sets.append(rs)
+    qry_fa = str(tmp_path / "qry.fa")
+    write_fasta(qry_fa, rng, 90, 110, donors=donors, k=k33)
+
+    eng = Engine(k=k33, t=T, batch=64)
+    residents = [eng.build_resident(rs) for rs in idx_sets]
+    assert all(r is not None for r in residents)
+
+    out_multi = tmp_path / "m"
+    out_pair = tmp_path / "p"
+    os.makedirs(out_multi)
+    os.makedirs(out_pair)
+    rs_q = ReadSet("Q")
+    rs_q.add_file(qry_fa)
+    got = eng.search_multi_set(rs_q, residents, out_dir=str(out_multi),
+                               log_dir=str(out_multi))
+    for rs in idx_sets:
+        eng2 = Engine(k=k33, t=T, batch=64)
+        rs_q2 = ReadSet("Q")
+        rs_q2.add_file(qry_fa)
+        want = eng2.index_and_search(rs, [rs_q2], out_dir=str(out_pair),
+                                     log_dir=str(out_pair))["Q"]
+        for key in ("indexed", "searched", "shared"):
+            assert got[rs.name][key] == want[key], (rs.name, key)
+        name = os.path.basename(qry_fa) + "_in_" + rs.name + ".bv"
+        with open(out_multi / name, "rb") as f1, \
+                open(out_pair / name, "rb") as f2:
+            assert f1.read() == f2.read(), name
+    assert got["I0"]["shared"] > 0

@@ -278,7 +278,7 @@ def test_finalize_index_keys_sentinel_ties():
     assert dict(zip(qa.tolist(), got2.tolist()))[5] == stream.CAND
 
 
-@pytest.mark.parametrize("k", [15, 32])
+@pytest.mark.parametrize("k", [15, 32, 33])
 @pytest.mark.parametrize("n_s", [1, 3, 17])
 def test_probe_multi_matches_single(k, n_s):
     """The amortized multi-index probe (one sort + one packed unsort for S
@@ -287,15 +287,16 @@ def test_probe_multi_matches_single(k, n_s):
     spans multiple packed unsort operands."""
     t = 2
     rng = np.random.default_rng(31000 + k * 100 + n_s)
+    wide = k > 32
     idxs = []
     for s in range(n_s):
         idx_seqs = random_seqs(rng, 12, k, 3 * k + 8)
         idx_codes = encode(idx_seqs, max(max(len(x) for x in idx_seqs), k))
         ka, kb, hib, flags, cnt = stream.chunk_index_keys_codes(
             jnp.asarray(idx_codes), k)
-        ika, ikb, _hib, mi = stream.finalize_index_keys(
-            [ka], [kb], None, [flags], [int(cnt)], ki=2)
-        idxs.append((ika, ikb, mi, idx_seqs))
+        ika, ikb, ihib, mi = stream.finalize_index_keys(
+            [ka], [kb], [hib], [flags], [int(cnt)], ki=2, wide=wide)
+        idxs.append((ika, ikb, mi, idx_seqs, ihib))
     qry_seqs = random_seqs(rng, 40, k - 1, 3 * k + 8)
     implant(rng, idxs[0][3], qry_seqs, k)
     lpad = max(max(len(s) for s in qry_seqs), k)
@@ -304,11 +305,13 @@ def test_probe_multi_matches_single(k, n_s):
     got = np.asarray(stream.probe_multi_stream_codes(
         tuple(x[0] for x in idxs), tuple(x[1] for x in idxs),
         tuple(x[2] for x in idxs), codes, k, t, chunk=512, ki=2,
-        interpret=True))
+        interpret=True,
+        ihibs=tuple(x[4] for x in idxs) if wide else None))
     assert got.shape == (n_s, len(qry_seqs))
-    for s, (ika, ikb, mi, _seqs) in enumerate(idxs):
+    for s, (ika, ikb, mi, _seqs, ihib) in enumerate(idxs):
         want = np.asarray(stream.probe_cascade2_stream_codes(
-            ika, ikb, mi, codes, k, t, chunk=512, ki=2, interpret=True))
+            ika, ikb, mi, codes, k, t, chunk=512, ki=2, interpret=True,
+            ihib=ihib))
         np.testing.assert_array_equal(got[s], want, err_msg=f"index {s}")
 
 
