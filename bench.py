@@ -421,7 +421,7 @@ def bench_multi(rng, ika, ikb, mi, query, lpad, planes, tags_expected):
     }
 
 
-def bench_realfill(KF=30, n_qry=131_072, ref_reps=1):
+def bench_realfill(KF=30, n_qry=131_072, ref_reps=1, reps=2):
     """The reference's DEFAULT-REGIME fill: max_kmer = 1e9/2^(33-k) pins
     every full partition at 11.6% plane fill regardless of k
     (src/index_and_search.cpp:73,146). k=30 reproduces that regime at
@@ -489,7 +489,7 @@ def bench_realfill(KF=30, n_qry=131_072, ref_reps=1):
     # (the all-vs-all driver reuses these compiled kernels for every pair)
     ours_pair = ours_search = 9e9
     counters = None
-    for rep in range(2):
+    for rep in range(reps):
         rs_i = ReadSet("I")
         rs_i.add_file(idx_fa)
         rs_q = ReadSet("Q")
@@ -861,6 +861,6 @@ if __name__ == "__main__":
         # heavy for the per-round bench; results recorded in BENCH_NOTES.md
         from commet_tpu.config import enable_compile_cache
         enable_compile_cache()
-        print(json.dumps(bench_realfill(KF=33)))
+        print(json.dumps(bench_realfill(KF=33, reps=1)))
     else:
         main()

@@ -451,8 +451,11 @@ def main(argv=None) -> int:
 
 def entry() -> None:
     """console_scripts entry point (pyproject.toml)."""
-    sys.exit(main())
+    from commet_tpu.cli.util import guarded
+    sys.exit(guarded(main))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    from commet_tpu.cli.util import guarded
+
+    sys.exit(guarded(main))
