@@ -474,6 +474,13 @@ class Engine:
         return parts
 
 
+    def _device_batch(self, n: int) -> int:
+        """Device-facing batch size for build/probe loops: larger than the
+        assembly batch to amortize the fixed per-dispatch cost (33 ms/call
+        on the tunneled platform); bounded by the bucket rule."""
+        return _bucket_size(n, max(self.batch, int(os.environ.get(
+            "COMMET_TPU_PROBE_BATCH", "65536"))), self.mesh)
+
     def _alloc_planes(self):
         """Zero planes allocated ON DEVICE (never ship 2^(k-1) host bytes
         through the tunnel); replicated over the mesh in DP mode."""
@@ -521,7 +528,7 @@ class Engine:
                 lengths = enc.read_lengths(idx)
                 lpad = _pad_length(int(lengths.max(initial=1)), self.k)
                 for _sl, c2, vd, _ln, _cl in self._batched_packed(
-                        enc, idx, lpad):
+                        enc, idx, lpad, size=self._device_batch(len(idx))):
                     c2d, vdd = self._dev(c2, "rep"), self._dev(vd, "rep")
                     collect.append(_stream.chunk_index_keys(
                         c2d, vdd, lpad, self.k))
@@ -542,7 +549,8 @@ class Engine:
                 planes = self._alloc_planes()
             lengths = enc.read_lengths(idx)
             lpad = _pad_length(int(lengths.max(initial=1)), self.k)
-            for _sl, c2, vd, _ln, _cl in self._batched_packed(enc, idx, lpad):
+            for _sl, c2, vd, _ln, _cl in self._batched_packed(
+                    enc, idx, lpad, size=self._device_batch(len(idx))):
                 planes = kernels.build_chunk_packed(
                     planes, self._dev(c2, "rep"), self._dev(vd, "rep"),
                     lpad, self.k)
@@ -880,7 +888,8 @@ class Engine:
                 lengths = enc.read_lengths(rows)
                 lpad = _pad_length(int(lengths.max(initial=1)), self.k)
                 for _sl, c2, vd, _ln, _cl in self._batched_packed(
-                        enc, rows, lpad):
+                        enc, rows, lpad,
+                        size=self._device_batch(len(rows))):
                     collect.append(_stream.chunk_index_keys(
                         jnp.asarray(c2), jnp.asarray(vd), lpad, self.k))
             if not collect:
