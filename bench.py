@@ -494,7 +494,7 @@ def bench_realfill(KF=30, n_qry=131_072, ref_reps=1, reps=2):
         rs_i.add_file(idx_fa)
         rs_q = ReadSet("Q")
         rs_q.add_file(qry_fa)
-        eng = Engine(k=KF, t=T, batch=65536)
+        eng = Engine(k=KF, t=T, batch=16384)
         wait_for_healthy_tunnel()
         t0 = time.time()
         counters = eng.index_and_search(rs_i, [rs_q], save=False)["Q"]

@@ -676,61 +676,24 @@ def _build_chunk_impl(planes: jax.Array, codes: jax.Array, k: int):
         (a_lo ^ b_lo, a_hi ^ b_hi),
         (a_lo | b_lo, a_hi | b_hi),
     )
-    if k >= 35:  # flat combined key would overflow uint32: per-plane loop
-        for p, (lo, hi) in enumerate(plane_keys):
-            word, mask = _plane_addr(lo, hi, k)
-            word = jnp.where(ok, word, jnp.uint32(0xFFFFFFFF))
-            mask = jnp.where(ok, mask, jnp.uint32(0))
-            word, mask = jax.lax.sort((word, mask), num_keys=1)
-            or_mask = _segmented_or_last(word, mask)
-            word = jnp.minimum(word, jnp.uint32(w - 1))
-            flat_idx = (word + jnp.uint32(p * w)).astype(jnp.int32)
-            existing = jnp.take(planes, flat_idx, axis=0)
-            planes = planes.at[flat_idx].add(or_mask & ~existing,
-                                             mode="drop",
-                                             unique_indices=False)
-        return planes
-    # all four planes in ONE sort + segmented-OR + scatter: the combined
-    # key is the flat word index (word + p*w < 4*2^(k-5) < 2^32 for
-    # k <= 34, so the 0xFFFFFFFF invalid sentinel stays distinct). One 4N
-    # sort costs ~the same as four N sorts in compare volume but a quarter
-    # of the dispatch/fixed cost -- the build was dispatch-bound at the
-    # default-regime scale (1e9 k-mers: 205-477 s -> see BENCH_NOTES r4).
-    words = []
-    masks = []
+    # NB a fused all-four-planes-in-one-sort variant was built and reverted
+    # in round 4: its compile makes the remote TPU compile helper OOM
+    # (SIGKILL) at >= 512 MiB plane sizes, hanging the client. The
+    # per-plane rounds below compile reliably at every k (BENCH_NOTES r4).
     for p, (lo, hi) in enumerate(plane_keys):
         word, mask = _plane_addr(lo, hi, k)
-        words.append(jnp.where(ok, word + jnp.uint32(p * w),
-                               jnp.uint32(0xFFFFFFFF)))
-        masks.append(jnp.where(ok, mask, jnp.uint32(0)))
-    word = jnp.concatenate(words)
-    mask = jnp.concatenate(masks)
-    word, mask = jax.lax.sort((word, mask), num_keys=1)
-    or_mask = _segmented_or_last(word, mask)
-    flat_idx = jnp.minimum(word, jnp.uint32(4 * w - 1)).astype(jnp.int32)
-    existing = jnp.take(planes, flat_idx, axis=0)
-    add_mask = or_mask & ~existing
-    return planes.at[flat_idx].add(add_mask, mode="drop",
-                                   unique_indices=False)
-
-
-@functools.partial(jax.jit, static_argnames=("length",))
-def class_counts_packed(codes2: jax.Array, valid: jax.Array,
-                        lengths: jax.Array, length: int):
-    """Device-side per-read symbol-class counts for the entropy filter
-    (reference src/filter_reads.cpp:249-306 counts A,C,G,T,other per
-    read): the O(N*L) scan over bases runs as vector compares/sums on
-    device; the O(5)-per-read float32-exact Shannon epilogue stays on the
-    host (core/filter.py) because TPU transcendentals are not the
-    correctly-rounded glibc logf the reference's arithmetic depends on.
-
-    Returns [N, 5] int32 counts; class 4 (other) = lengths - ACGT sum
-    (the validity plane marks non-ACGT bases invalid, identically to
-    padding, so 'other' falls out of the length difference)."""
-    codes = unpack_codes(codes2, valid, length)
-    acgt = [(codes == c).sum(axis=1, dtype=jnp.int32) for c in range(4)]
-    other = lengths.astype(jnp.int32) - sum(acgt)
-    return jnp.stack(acgt + [other], axis=1)
+        # invalid windows -> out-of-range word, mask 0; sorts to the end
+        word = jnp.where(ok, word, jnp.uint32(0xFFFFFFFF))
+        mask = jnp.where(ok, mask, jnp.uint32(0))
+        word, mask = jax.lax.sort((word, mask), num_keys=1)
+        or_mask = _segmented_or_last(word, mask)
+        word = jnp.minimum(word, jnp.uint32(w - 1))
+        flat_idx = (word + jnp.uint32(p * w)).astype(jnp.int32)
+        existing = jnp.take(planes, flat_idx, axis=0)
+        add_mask = or_mask & ~existing
+        planes = planes.at[flat_idx].add(add_mask, mode="drop",
+                                         unique_indices=False)
+    return planes
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -474,12 +474,21 @@ class Engine:
         return parts
 
 
-    def _device_batch(self, n: int) -> int:
+    def _device_batch(self, n: int, build: bool = False) -> int:
         """Device-facing batch size for build/probe loops: larger than the
         assembly batch to amortize the fixed per-dispatch cost (33 ms/call
-        on the tunneled platform); bounded by the bucket rule."""
-        return _bucket_size(n, max(self.batch, int(os.environ.get(
-            "COMMET_TPU_PROBE_BATCH", "65536"))), self.mesh)
+        on the tunneled platform); bounded by the bucket rule. Build
+        batches stay at <= 16384 for k >= 31: compiling build graphs that
+        touch >= 1 GiB planes with larger batches OOMs the remote TPU
+        compile helper (BENCH_NOTES r4)."""
+        if build:
+            # build graphs touching multi-GiB planes compile unreliably at
+            # larger batches on the remote TPU compile helper; keep the
+            # r3-proven assembly batch for builds
+            return _bucket_size(n, min(self.batch, 16384), self.mesh)
+        cap = max(self.batch, int(os.environ.get(
+            "COMMET_TPU_PROBE_BATCH", "65536")))
+        return _bucket_size(n, cap, self.mesh)
 
     def _alloc_planes(self):
         """Zero planes allocated ON DEVICE (never ship 2^(k-1) host bytes
@@ -528,7 +537,8 @@ class Engine:
                 lengths = enc.read_lengths(idx)
                 lpad = _pad_length(int(lengths.max(initial=1)), self.k)
                 for _sl, c2, vd, _ln, _cl in self._batched_packed(
-                        enc, idx, lpad, size=self._device_batch(len(idx))):
+                        enc, idx, lpad,
+                        size=self._device_batch(len(idx), build=True)):
                     c2d, vdd = self._dev(c2, "rep"), self._dev(vd, "rep")
                     collect.append(_stream.chunk_index_keys(
                         c2d, vdd, lpad, self.k))
@@ -550,7 +560,8 @@ class Engine:
             lengths = enc.read_lengths(idx)
             lpad = _pad_length(int(lengths.max(initial=1)), self.k)
             for _sl, c2, vd, _ln, _cl in self._batched_packed(
-                    enc, idx, lpad, size=self._device_batch(len(idx))):
+                    enc, idx, lpad,
+                    size=self._device_batch(len(idx), build=True)):
                 planes = kernels.build_chunk_packed(
                     planes, self._dev(c2, "rep"), self._dev(vd, "rep"),
                     lpad, self.k)
