@@ -854,13 +854,114 @@ def bench_hostio(workdir, idx_fa):
     return out
 
 
+def bench_big():
+    """BASELINE config 3: two 10M-read fastq.gz sets, compared both ways
+    at the default k=33 through the engine (parse incl. gz decode ->
+    build -> classify with host-IO prefetch) vs the reference binary on
+    the same files. One rep each way (the workload dwarfs jit noise)."""
+    import gzip
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    from commet_tpu.engine.engine import Engine
+    from commet_tpu.io.reads import ReadSet
+
+    NBIG, KB = 10_000_000, 33
+    rng = np.random.default_rng(11)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    workdir = tempfile.mkdtemp(prefix="commet_big_")
+    files = []
+    t0 = time.time()
+    donor = None
+    for name in ("A", "B"):
+        path = os.path.join(workdir, f"{name}.fq.gz")
+        with gzip.open(path, "wb", compresslevel=1) as f:
+            for s in range(0, NBIG, 250_000):
+                cnt = min(250_000, NBIG - s)
+                codes = rng.integers(0, 4, size=(cnt, READ_LEN),
+                                     dtype=np.int8)
+                if donor is None:
+                    donor = codes[:4096].copy()
+                elif s % 1_000_000 == 0:
+                    # implant shared fragments so the sets overlap
+                    half = cnt // 2
+                    frag = 2 * KB
+                    dn = donor[rng.integers(0, len(donor), size=half)]
+                    ds = rng.integers(0, READ_LEN - frag + 1, size=half)
+                    qs = rng.integers(0, READ_LEN - frag + 1, size=half)
+                    rows = np.arange(half)[:, None]
+                    cols = np.arange(frag)
+                    codes[rows, qs[:, None] + cols] = \
+                        dn[rows, ds[:, None] + cols]
+                seqs = lut[codes.astype(np.int64)]
+                qual = b"I" * READ_LEN
+                f.write(b"".join(
+                    b"@r%d\n%s\n+\n%s\n" % (s + i, seqs[i].tobytes(), qual)
+                    for i in range(cnt)))
+        files.append(path)
+        log(f"{name}.fq.gz written ({NBIG} reads) at "
+            f"{time.time()-t0:.0f}s")
+    out = {}
+    for iname, qname, ifile, qfile in (("A", "B", files[0], files[1]),
+                                       ("B", "A", files[1], files[0])):
+        rs_i = ReadSet(iname)
+        rs_i.add_file(ifile)
+        rs_q = ReadSet(qname)
+        rs_q.add_file(qfile)
+        eng = Engine(k=KB, t=T, batch=16384)
+        wait_for_healthy_tunnel(tries=2)
+        t0 = time.time()
+        c = eng.index_and_search(rs_i, [rs_q], save=False)[qname]
+        dt = time.time() - t0
+        log(f"big pair {qname}_in_{iname} (ours): {dt:.0f}s (index "
+            f"{c['index_time']:.0f}s, search {c['search_time']:.0f}s), "
+            f"shared {c['shared']}")
+        out[f"big_{qname}_in_{iname}_seconds"] = round(dt, 1)
+        out[f"big_{qname}_in_{iname}_shared"] = c["shared"]
+        out[f"big_{qname}_in_{iname}_search_reads_per_sec"] = round(
+            NBIG / max(c["search_time"], 1e-9), 1)
+    ref_bin = "/tmp/refbuild/bin/index_and_search"
+    if os.path.exists(ref_bin):
+        for iname, qname, ifile, qfile in (("A", "B", files[0], files[1]),
+                                           ("B", "A", files[1], files[0])):
+            with open(os.path.join(workdir, "i.txt"), "w") as f:
+                f.write(f"{iname}: {ifile}\n")
+            with open(os.path.join(workdir, "q.txt"), "w") as f:
+                f.write(f"{qname}: {qfile}\n")
+            refout = os.path.join(workdir, "refout")
+            t0 = time.time()
+            subprocess.run(
+                [ref_bin, "-i", os.path.join(workdir, "i.txt"),
+                 "-s", os.path.join(workdir, "q.txt"), "-k", str(KB),
+                 "-t", str(T), "-o", refout, "-l", refout],
+                capture_output=True, check=True)
+            dt = time.time() - t0
+            with open(os.path.join(refout,
+                                   f"{qname}_in_{iname}.log")) as f:
+                lines = f.read().strip().splitlines()
+            ref_shared = int(lines[-1].split("shared")[1].strip(" []"))
+            assert ref_shared == out[f"big_{qname}_in_{iname}_shared"], \
+                (ref_shared, out[f"big_{qname}_in_{iname}_shared"])
+            log(f"big pair {qname}_in_{iname} (reference): {dt:.0f}s, "
+                f"shared {ref_shared} (agrees)")
+            out[f"big_{qname}_in_{iname}_ref_seconds"] = round(dt, 1)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
-    if "--fill33" in sys.argv:
+    if "--big" in sys.argv:
+        from commet_tpu.config import enable_compile_cache
+        enable_compile_cache()
+        print(json.dumps(bench_big()))
+    elif "--fill33" in sys.argv:
         # one-off full-default-regime run: k=33 at its own max_kmer (1e9
         # k-mers, 12.8M index reads, 4 GiB reference Bloom array) -- too
         # heavy for the per-round bench; results recorded in BENCH_NOTES.md
         from commet_tpu.config import enable_compile_cache
         enable_compile_cache()
-        print(json.dumps(bench_realfill(KF=33, reps=1)))
+        print(json.dumps(bench_realfill(KF=33, reps=2)))
     else:
         main()
