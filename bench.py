@@ -823,6 +823,15 @@ def bench_hostio(workdir, idx_fa):
     out = {}
     saved = os.environ.get("COMMET_TPU_PREFETCH")
     try:
+        # untimed warm pass: the first engine call at these shapes pays
+        # one-time jit/compile-cache costs that would otherwise pollute
+        # whichever prefetch mode runs first
+        rs_iw = ReadSet("I")
+        rs_iw.add_file(idx_fa)
+        rs_qw = ReadSet("QW")
+        rs_qw.add_file(big_fa)
+        Engine(k=K, t=T, batch=BATCH).index_and_search(
+            rs_iw, [rs_qw], save=False)
         for pf in ("0", "1"):
             os.environ["COMMET_TPU_PREFETCH"] = pf
             rs_i = ReadSet("I")
