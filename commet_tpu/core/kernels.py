@@ -696,6 +696,25 @@ def _build_chunk_impl(planes: jax.Array, codes: jax.Array, k: int):
     return planes
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def class_counts_packed(codes2: jax.Array, valid: jax.Array,
+                        lengths: jax.Array, length: int):
+    """Device-side per-read symbol-class counts for the entropy filter
+    (reference src/filter_reads.cpp:249-306 counts A,C,G,T,other per
+    read): the O(N*L) scan over bases runs as vector compares/sums on
+    device; the O(5)-per-read float32-exact Shannon epilogue stays on the
+    host (core/filter.py) because TPU transcendentals are not the
+    correctly-rounded glibc logf the reference's arithmetic depends on.
+
+    Returns [N, 5] int32 counts; class 4 (other) = lengths - ACGT sum
+    (the validity plane marks non-ACGT bases invalid, identically to
+    padding, so 'other' falls out of the length difference)."""
+    codes = unpack_codes(codes2, valid, length)
+    acgt = [(codes == c).sum(axis=1, dtype=jnp.int32) for c in range(4)]
+    other = lengths.astype(jnp.int32) - sum(acgt)
+    return jnp.stack(acgt + [other], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def count_kmers(codes: jax.Array, k: int):
     """Number of complete windows (indexable k-mers) per read - the quantity
