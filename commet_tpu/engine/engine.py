@@ -696,15 +696,21 @@ class Engine:
                     ((sx.ihib,) if wide else ()) + (self._dev(c2), aux)
                 verdict = fn(*args)
             elif clean:
-                verdict = _stream.probe_cascade2_stream(
-                    sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(ln),
-                    lpad, self.k, self.t, wmax, jchunk,
-                    interpret=self._stream_interpret, ihib=sx.ihib)
+                # the S=1 multi pipeline beats the legacy single-index
+                # probe (~468k vs ~345k reads/s measured: 2-operand packed
+                # unsort + reduction greedy); verdict equality is test-
+                # proven (test_probe_multi_matches_single)
+                verdict = _stream.probe_multi_stream_clean(
+                    (sx.ika,), (sx.ikb,), (sx.mi,), self._dev(c2),
+                    self._dev(ln), lpad, self.k, self.t, wmax, jchunk,
+                    interpret=self._stream_interpret,
+                    ihibs=(sx.ihib,) if sx.ihib is not None else None)[0]
             else:
-                verdict = _stream.probe_cascade2_stream_packed(
-                    sx.ika, sx.ikb, sx.mi, self._dev(c2), self._dev(vd),
-                    lpad, self.k, self.t, wmax, jchunk,
-                    interpret=self._stream_interpret, ihib=sx.ihib)
+                verdict = _stream.probe_multi_stream_packed(
+                    (sx.ika,), (sx.ikb,), (sx.mi,), self._dev(c2),
+                    self._dev(vd), lpad, self.k, self.t, wmax, jchunk,
+                    interpret=self._stream_interpret,
+                    ihibs=(sx.ihib,) if sx.ihib is not None else None)[0]
             pending.append((sl, verdict))
         amb_parts = []
         for sl, verdict in pending:

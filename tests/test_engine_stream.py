@@ -58,13 +58,13 @@ def test_engine_forced_stream_matches_gather(tmp_path, monkeypatch):
     fresh_selfcheck(monkeypatch)
     monkeypatch.setenv("COMMET_TPU_STREAM", "force")
     calls = {"n": 0}
-    real = stream_mod.probe_cascade2_stream
+    real = stream_mod.probe_multi_stream_clean
 
     def counting(*a, **kw):
         calls["n"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(stream_mod, "probe_cascade2_stream", counting)
+    monkeypatch.setattr(stream_mod, "probe_multi_stream_clean", counting)
     eng = Engine(k=K, t=T, batch=2048)
     assert eng.stream, "forced stream engine must pass the self-check on CPU"
     got = eng.index_and_search(rs_i, [rs_q], save=False)
@@ -147,13 +147,13 @@ def test_long_read_geometry_falls_back_exact(tmp_path, monkeypatch):
     monkeypatch.setenv("COMMET_TPU_STREAM", "force")
     monkeypatch.setattr(stream_mod, "MAX_UNSORT_KEYS", 40_000)
     calls = {"n": 0}
-    real = stream_mod.probe_cascade2_stream
+    real = stream_mod.probe_multi_stream_clean
 
     def counting(*a, **kw):
         calls["n"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(stream_mod, "probe_cascade2_stream", counting)
+    monkeypatch.setattr(stream_mod, "probe_multi_stream_clean", counting)
 
     rng = np.random.default_rng(41)
     rs_i, rs_q = make_sets(tmp_path, rng)
