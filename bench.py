@@ -14,6 +14,7 @@ Prints one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -300,6 +301,16 @@ def main():
         pair_extra.update(bench_realfill())
     except Exception as exc:
         log(f"realistic-fill benchmark skipped: {exc}")
+    # the full default regime itself (k=33 @ max_kmer = 1e9 k-mers, 4 GiB
+    # planes, 12.8M index reads): the VERDICT r4 headline target. Heavy
+    # (~6 min incl. the live reference) -- COMMET_TPU_BENCH_FILL33=0 skips.
+    if os.environ.get("COMMET_TPU_BENCH_FILL33", "1") != "0":
+        try:
+            f33 = bench_realfill(KF=33, reps=2)
+            pair_extra.update({k.replace("fill_", "fill33_"): v
+                               for k, v in f33.items()})
+        except Exception as exc:
+            log(f"fill33 benchmark skipped: {exc}")
     base_search = pair_extra.get("ref_search_reads_per_sec",
                                  BASELINE_READS_PER_SEC)
     base_build = pair_extra.get("ref_build_reads_per_sec",
@@ -789,18 +800,24 @@ def bench_pair(index_codes, query_codes, expect_shared):
         out["ref_search_reads_per_sec"] = round(N_QUERY / ref_search_s, 1)
         out["ref_build_reads_per_sec"] = round(N_INDEX / ref_index_s, 1)
     try:
-        out.update(bench_hostio(workdir, idx_fa))
+        out.update(bench_hostio(workdir, idx_fa, index_codes))
     except Exception as exc:
         log(f"host-IO benchmark skipped: {exc}")
     shutil.rmtree(workdir, ignore_errors=True)
     return out
 
 
-def bench_hostio(workdir, idx_fa):
+def bench_hostio(workdir, idx_fa, index_codes=None):
     """Host-IO pipeline at scale: a 1M-read query set (a 1/10 slice of
     BASELINE config 3's 10M-read sets) searched against the 100k-read
     index through the engine, with the background gather+pack prefetch ON
-    vs OFF. Reports the sustained end-to-end rate and the overlap gain."""
+    vs OFF. 10% of the reads carry implanted index fragments so the
+    tagging path runs at scale (shared > 0, VERDICT r4 #4). Reports the
+    sustained end-to-end rate, the overlap gain, and the engine's
+    dispatch-loop occupancy decomposition (Engine.last_io_stats): on this
+    tunneled platform the per-batch dispatch round-trip dominates either
+    way -- feed_busy_frac/host_block_s now MEASURE that instead of
+    inferring it."""
     import os
 
     from commet_tpu.engine.engine import Engine
@@ -815,6 +832,17 @@ def bench_hostio(workdir, idx_fa):
         for s in range(0, NBIG, 250_000):
             cnt = min(250_000, NBIG - s)
             codes = rng.integers(0, 4, size=(cnt, READ_LEN), dtype=np.int8)
+            if index_codes is not None:
+                tenth = cnt // 10
+                frag = 2 * K
+                dn = index_codes[
+                    rng.integers(0, len(index_codes), size=tenth)]
+                ds = rng.integers(0, READ_LEN - frag + 1, size=tenth)
+                qs = rng.integers(0, READ_LEN - frag + 1, size=tenth)
+                rows = np.arange(tenth)[:, None]
+                cols = np.arange(frag)
+                codes[rows, qs[:, None] + cols] = \
+                    dn[rows, ds[:, None] + cols].astype(np.int8)
             seqs = lut[codes.astype(np.int64)]
             f.write(b"".join(b">r%d\n%s\n" % (s + i, seqs[i].tobytes())
                              for i in range(cnt)))
@@ -847,14 +875,22 @@ def bench_hostio(workdir, idx_fa):
             log(f"host-IO 1M-read pair (prefetch={pf}): {dt:.1f}s, search "
                 f"{c['search_time']:.1f}s = {rate:,.0f} reads/s, shared "
                 f"{c['shared']}")
+            io = dict(eng.last_io_stats)
+            log(f"  io decomposition (prefetch={pf}): {io}")
             if pf == "0":
                 out["hostio_pair_seconds_noprefetch"] = round(dt, 2)
+                out["hostio_host_block_s_noprefetch"] = io.get(
+                    "host_block_s")
             else:
                 out["hostio_pair_seconds"] = round(dt, 2)
                 out["hostio_reads_per_sec"] = round(rate, 1)
                 out["hostio_overlap_speedup"] = round(
                     out["hostio_pair_seconds_noprefetch"] / dt, 3)
                 out["hostio_shared"] = c["shared"]
+                out["hostio_host_pack_s"] = io.get("host_pack_s")
+                out["hostio_host_block_s"] = io.get("host_block_s")
+                out["hostio_fetch_s"] = io.get("fetch_s")
+                out["hostio_feed_busy_frac"] = io.get("feed_busy_frac")
     finally:
         if saved is None:
             os.environ.pop("COMMET_TPU_PREFETCH", None)
@@ -960,8 +996,189 @@ def bench_big():
     return out
 
 
+def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
+                   keep_dir=None):
+    """BASELINE config-4/5 shape: N sets x R reads FULL all-vs-all
+    (filter + step-0 + the 3-pass per-pair refinement + matrices) through
+    our driver, against the reference binaries driven in the exact
+    Commet.py:186-240 schedule. Per-phase walls reported; every
+    *_in_*.bv byte-compared at the end (bit-exactness at fan-out).
+
+    The reference's own Commet.py is python2 and cannot run here; its
+    schedule is replayed verbatim with the same fof manifests against
+    /tmp/refbuild binaries (filter_reads + index_and_search), which do
+    all the actual work the driver would invoke."""
+    import glob
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    rng = np.random.default_rng(seed)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    workdir = keep_dir or tempfile.mkdtemp(prefix="commet_ava_")
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+    files = []
+    donor = None
+    for si in range(n_sets):
+        path = os.path.join(workdir, f"S{si}.fa")
+        with open(path, "wb") as f:
+            for s in range(0, n_reads, 250_000):
+                cnt = min(250_000, n_reads - s)
+                codes = rng.integers(0, 4, size=(cnt, READ_LEN),
+                                     dtype=np.int8)
+                if donor is None:
+                    donor = codes[: min(cnt, 4096)].copy()
+                else:
+                    # ~20% of reads carry fragments shared with set 0
+                    fifth = cnt // 5
+                    frag = 2 * kcfg
+                    dn = donor[rng.integers(0, len(donor), size=fifth)]
+                    ds = rng.integers(0, READ_LEN - frag + 1, size=fifth)
+                    qs = rng.integers(0, READ_LEN - frag + 1, size=fifth)
+                    rows = np.arange(fifth)[:, None]
+                    cols = np.arange(frag)
+                    codes[rows, qs[:, None] + cols] = \
+                        dn[rows, ds[:, None] + cols].astype(np.int8)
+                seqs = lut[codes.astype(np.int64)]
+                f.write(b"".join(b">r%d\n%s\n" % (s + i, seqs[i].tobytes())
+                                 for i in range(cnt)))
+        files.append(path)
+    log(f"allvsall workload: {n_sets} sets x {n_reads} reads written in "
+        f"{time.time()-t0:.0f}s")
+
+    fof = os.path.join(workdir, "sets.txt")
+    with open(fof, "w") as f:
+        for si, path in enumerate(files):
+            f.write(f"SET{si}: {path}\n")
+
+    out = {"ava_n_sets": n_sets, "ava_n_reads": n_reads, "ava_k": kcfg}
+
+    # ---- ours: the real driver CLI, phases parsed from wall checkpoints
+    ours_dir = os.path.join(workdir, "ours/")
+    from commet_tpu.cli import commet as commet_cli
+    from commet_tpu.io.fof import (driver_read_bvs, driver_read_files,
+                                   driver_set_names)
+    from commet_tpu.engine.engine import Engine
+    os.makedirs(ours_dir, exist_ok=True)
+    read_matrix = driver_read_files(fof)
+    names = driver_set_names(fof)
+    wait_for_healthy_tunnel(tries=2)
+    t0 = time.time()
+    commet_cli.filter_all_reads(read_matrix, ours_dir, 0, -1, 0.0, -1)
+    t_filter = time.time() - t0
+    bv_matrix = [[ours_dir + os.path.basename(f) + ".bv" for f in line]
+                 for line in read_matrix]
+    eng = Engine(k=kcfg, t=T, batch=16384)
+    t0 = time.time()
+    done = commet_cli.run_amortized_rounds(
+        read_matrix, bv_matrix, names, ours_dir, n_sets - 1, eng)
+    if not done:
+        for ref_id in range(n_sets - 1):
+            commet_cli.compare_all_against(
+                read_matrix, bv_matrix, names, ours_dir, ref_id, eng)
+    t_pairs = time.time() - t0
+    t0 = time.time()
+    commet_cli.output_matrices(read_matrix, bv_matrix, names, ours_dir,
+                               plots=False)
+    t_mat = time.time() - t0
+    out.update({"ava_ours_filter_s": round(t_filter, 1),
+                "ava_ours_pairs_s": round(t_pairs, 1),
+                "ava_ours_matrices_s": round(t_mat, 1),
+                "ava_ours_total_s": round(t_filter + t_pairs + t_mat, 1),
+                "ava_ours_amortized": bool(done)})
+    log(f"allvsall OURS: filter {t_filter:.0f}s, pairs {t_pairs:.0f}s "
+        f"(amortized={done}), matrices {t_mat:.0f}s")
+
+    # ---- reference: the exact Commet.py schedule over /tmp/refbuild
+    ref_bin_dir = "/tmp/refbuild/bin"
+    if os.path.exists(os.path.join(ref_bin_dir, "index_and_search")):
+        ref_dir = os.path.join(workdir, "ref/")
+        os.makedirs(ref_dir, exist_ok=True)
+        t0 = time.time()
+        for line in read_matrix:  # filterAllReads, Commet.py:103-121
+            for path in line:
+                subprocess.run(
+                    [os.path.join(ref_bin_dir, "filter_reads"), path,
+                     "-l", "0", "-e", "0",
+                     "-o", ref_dir + os.path.basename(path) + ".bv"],
+                    capture_output=True, check=True)
+        ref_filter = time.time() - t0
+        rbv = [[ref_dir + os.path.basename(f) + ".bv" for f in line]
+               for line in read_matrix]
+
+        def write_fof(path, ids, bvs):
+            with open(path, "w") as f:
+                for i in ids:
+                    ents = ";".join(f"{fn},{bv}" for fn, bv in
+                                    zip(read_matrix[i], bvs(i)))
+                    f.write(f"{names[i]}: {ents}\n")
+
+        def ias(fof_i, fof_s):
+            subprocess.run(
+                [os.path.join(ref_bin_dir, "index_and_search"),
+                 "-i", fof_i, "-s", fof_s, "-t", str(T), "-k", str(kcfg),
+                 "-o", ref_dir, "-l", ref_dir],
+                capture_output=True, check=True)
+
+        t0 = time.time()
+        tmp_i = os.path.join(workdir, "tmp_i.txt")
+        tmp_s = os.path.join(workdir, "tmp_s.txt")
+        for ref_id in range(n_sets - 1):  # Commet.py:186-240
+            write_fof(tmp_i, [ref_id], lambda i: rbv[i])
+            write_fof(tmp_s, range(ref_id + 1, n_sets), lambda i: rbv[i])
+            ias(tmp_i, tmp_s)  # step 0: all in Si
+            for j in range(ref_id + 1, n_sets):
+                write_fof(tmp_i, [j], lambda i: [
+                    ref_dir + os.path.basename(fn) + "_in_"
+                    + names[ref_id] + ".bv" for fn in read_matrix[i]])
+                write_fof(tmp_s, [ref_id], lambda i: rbv[i])
+                ias(tmp_i, tmp_s)  # step a: Si in (X in Si)
+                write_fof(tmp_i, [ref_id], lambda i: [
+                    ref_dir + os.path.basename(fn) + "_in_"
+                    + names[j] + ".bv" for fn in read_matrix[i]])
+                write_fof(tmp_s, [j], lambda i: rbv[i])
+                ias(tmp_i, tmp_s)  # step b: X in (Si in (X in Si))
+        ref_pairs = time.time() - t0
+        out.update({"ava_ref_filter_s": round(ref_filter, 1),
+                    "ava_ref_pairs_s": round(ref_pairs, 1),
+                    "ava_ref_total_s": round(ref_filter + ref_pairs, 1),
+                    "ava_pairs_speedup": round(ref_pairs / t_pairs, 2),
+                    "ava_total_speedup": round(
+                        (ref_filter + ref_pairs)
+                        / (t_filter + t_pairs + t_mat), 2)})
+        log(f"allvsall REFERENCE: filter {ref_filter:.0f}s, pairs "
+            f"{ref_pairs:.0f}s; ours pairs speedup "
+            f"{out['ava_pairs_speedup']}x")
+
+        # bit-exactness at fan-out: every pair-result bv byte-identical
+        mismatch = []
+        for p in sorted(glob.glob(os.path.join(ref_dir, "*_in_*.bv"))):
+            q = os.path.join(ours_dir, os.path.basename(p))
+            with open(p, "rb") as f1, open(q, "rb") as f2:
+                if f1.read() != f2.read():
+                    mismatch.append(os.path.basename(p))
+        out["ava_bv_files_compared"] = len(
+            glob.glob(os.path.join(ref_dir, "*_in_*.bv")))
+        out["ava_bv_mismatches"] = mismatch
+        assert not mismatch, f"bv mismatch at fan-out: {mismatch[:5]}"
+        log(f"allvsall parity: {out['ava_bv_files_compared']} result bvs "
+            f"byte-identical")
+    if keep_dir is None:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
-    if "--big" in sys.argv:
+    if "--allvsall" in sys.argv:
+        from commet_tpu.config import enable_compile_cache
+        enable_compile_cache()
+        i = sys.argv.index("--allvsall")
+        ns = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 10
+        nr = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 1_000_000
+        print(json.dumps(bench_allvsall(n_sets=ns, n_reads=nr)))
+    elif "--big" in sys.argv:
         from commet_tpu.config import enable_compile_cache
         enable_compile_cache()
         print(json.dumps(bench_big()))

@@ -107,7 +107,10 @@ def run_amortized_rounds(read_matrix, bv_matrix, names, out_dir, end, eng):
     total_bytes = 0
     for i in range(end):
         rs = _load_set(names[i], read_matrix[i], bv_matrix[i])
-        r = eng.build_resident(rs)
+        # pass the REMAINING cumulative budget so an index that would
+        # overshoot is rejected before it allocates device memory
+        # (ADVICE r4: the old post-build check could OOM first)
+        r = eng.build_resident(rs, budget=budget - total_bytes)
         if r is None:
             return False
         total_bytes += r.device_bytes()
@@ -118,7 +121,10 @@ def run_amortized_rounds(read_matrix, bv_matrix, names, out_dir, end, eng):
         targets = residents[: min(j, end)]
         rs_q = _load_set(names[j], read_matrix[j], bv_matrix[j])
         print(f"{names[j]} in {{{', '.join(r.name for r in targets)}}}")
-        eng.search_multi_set(rs_q, targets, out_dir=out_dir, log_dir=out_dir)
+        got = eng.search_multi_set(rs_q, targets, out_dir=out_dir,
+                                   log_dir=out_dir)
+        if got is None:  # geometry can't serve (e.g. very long reads):
+            return False  # classic pairwise schedule handles any input
     del residents  # free device memory before the pairwise refinement
     for i in range(end):
         for j in range(i + 1, n):
@@ -417,6 +423,8 @@ def main(argv=None) -> int:
 
     if args.devices:
         os.environ["COMMET_TPU_DEVICES"] = args.devices
+    from commet_tpu.autowarm import ensure_prewarmed
+    ensure_prewarmed(ks=(k,))  # one-time per code version (VERDICT r4 #5)
     from commet_tpu.parallel.sharded import auto_mesh
     eng = Engine(k=k, t=t, batch=args.batch, mesh=auto_mesh())
     end = 1 if args.one_vs_all else len(read_matrix) - 1

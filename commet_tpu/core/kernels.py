@@ -696,6 +696,87 @@ def _build_chunk_impl(planes: jax.Array, codes: jax.Array, k: int):
     return planes
 
 
+# --------------------------------------------------------------------------
+# Bulk build: the high-fill plane build as few huge sorted scatters
+#
+# The per-batch build above pays 2 descriptor ops per k-mer per plane (the
+# existing-bit gather + the scatter-add) at the measured ~40-80M
+# descriptors/s wall -- ~205 s for the reference default's 1e9-k-mer
+# partition (VERDICT r4 #1). Measured on the v5e (scratch/r5_measure_ops):
+# 2-op jax.lax.sort is ~4.3 ms/M keys FLAT up to 2^29 elements, and a
+# unique-index scatter-SET runs ~1.5-2x the scatter-add rate with zero
+# gathers. So the bulk build collects each partition's (keya, keyb) window
+# keys once (the stream path's chunk_index_keys kernel), then per plane:
+# derive (word, mask) -> one giant sort -> segmented-OR -> mark non-last
+# duplicates out-of-bounds -> ONE scatter-set of deduplicated masks. The
+# first chunk of a plane scatters into the zeroed plane directly; later
+# chunks scatter into a scratch plane OR-ed in densely (bandwidth-bound,
+# ~ms) -- no gather descriptors anywhere. One descriptor per k-mer per
+# plane instead of two, at the faster set rate.
+# --------------------------------------------------------------------------
+
+BULK_OOB = np.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "plane", "wide"))
+def bulk_plane_sorted(keys, keysb, hib, flags, k: int, plane: int,
+                      wide: bool):
+    """One plane's deduplicated scatter stream from a chunk's collected
+    window keys (chunk_index_keys output, flattened): returns
+    (word [N] int32 with dropped entries -1, or_mask [N] uint32), sorted
+    by word, each surviving word carrying the OR of its run's masks.
+
+    plane: 0=A(keya) 1=B(keyb) 2=C(a^b) 3=D(a|b)
+    (reference include/bloom_filter.h:37-43)."""
+    a_lo, b_lo = keys, keysb
+    if wide:
+        a_hi, b_hi = hib >> jnp.uint32(8), hib & jnp.uint32(0xFF)
+    else:
+        a_hi = b_hi = jnp.zeros_like(a_lo)
+    if plane == 0:
+        lo, hi = a_lo, a_hi
+    elif plane == 1:
+        lo, hi = b_lo, b_hi
+    elif plane == 2:
+        lo, hi = a_lo ^ b_lo, a_hi ^ b_hi
+    else:
+        lo, hi = a_lo | b_lo, a_hi | b_hi
+    word, mask = _plane_addr(lo, hi, k)
+    ok = flags == 0
+    word = jnp.where(ok, word, BULK_OOB)
+    mask = jnp.where(ok, mask, jnp.uint32(0))
+    word, mask = jax.lax.sort((word, mask), num_keys=1)
+    or_mask = _segmented_or_last(word, mask)
+    is_last = jnp.concatenate([word[1:] != word[:-1],
+                               jnp.ones((1,), dtype=bool)])
+    # dropped entries (non-last duplicates, invalid windows) get a LARGE
+    # POSITIVE out-of-bounds index: mode="drop" skips those, whereas a
+    # negative index would WRAP per numpy semantics and clobber the
+    # plane's last word. A (word, 0) overwrite after the run's full mask
+    # would clobber it, hence the non-last marking.
+    wordi = jnp.where(is_last & (word != BULK_OOB),
+                      word.astype(jnp.int32), jnp.int32(0x7FFFFFFF))
+    return wordi, or_mask
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def bulk_scatter_set(target, word, or_mask):
+    """Unique-index overwrite scatter of a deduplicated sorted chunk.
+    Correct only when every surviving word index appears once (guaranteed
+    by bulk_plane_sorted) and target holds no prior bits for this chunk's
+    range (the zeroed plane for chunk 0, a zeroed scratch plane after)."""
+    return target.at[word].set(or_mask, mode="drop", unique_indices=True)
+
+
+@functools.partial(jax.jit, static_argnames=("offset", "w"),
+                   donate_argnums=(0,))
+def bulk_or_plane(planes, scratch, offset: int, w: int):
+    """Dense OR of a scratch plane into planes[offset : offset+w]."""
+    return jax.lax.dynamic_update_slice(
+        planes, jax.lax.dynamic_slice(planes, (offset,), (w,)) | scratch,
+        (offset,))
+
+
 @functools.partial(jax.jit, static_argnames=("length",))
 def class_counts_packed(codes2: jax.Array, valid: jax.Array,
                         lengths: jax.Array, length: int):

@@ -247,6 +247,8 @@ class ResidentIndex:
         tot = 0
         for sx in self.partitions:
             tot += int(sx.ika.size + sx.ikb.size) * 4
+            if sx.ihib is not None:  # wide-key (k=33/34) hi-bit plane
+                tot += int(sx.ihib.size) * 4
             for s in (sx.sa, sx.sb, sx.sc, sx.sd):
                 if s is not None:
                     tot += int(s.size) * 4
@@ -299,6 +301,15 @@ class Engine:
         self._ika = self._ikb = None
         self._ik_mi = None
         self._sidx = None
+        # host-IO pipeline accounting (VERDICT r4 #4): per-search-call
+        # decomposition of where wall time goes. pack_s accumulates on the
+        # prefetch thread (total host gather+pack work), block_s is the
+        # time the DISPATCH loop actually waited for a batch (0 == the
+        # pipeline fully hid host IO behind device work), fetch_s is the
+        # tail spent fetching verdicts. last_io_stats holds the previous
+        # search call's numbers for bench/driver reporting.
+        self.last_io_stats: Dict[str, float] = {}
+        self._io_pack = self._io_block = 0.0
         self._stream_serving = False  # set per partition from the fill
         self._stream_dp_fns = {}
         # CAND-flood guard: when the index fill (valid k-mers / 2^k) is
@@ -383,25 +394,54 @@ class Engine:
         starts = list(range(0, len(idx), size))
 
         def job(start):
+            t0 = time.time()
             chunk = idx[start : start + size]
             c2, vd, ln, clean = enc.gather_packed(chunk, lpad, size)
+            self._io_pack += time.time() - t0
             return slice(start, start + len(chunk)), c2, vd, ln, clean
 
         if len(starts) == 1 or not self.prefetch:
             for start in starts:
-                yield job(start)
+                t0 = time.time()
+                got = job(start)
+                self._io_block += time.time() - t0
+                yield got
             return
         from concurrent.futures import ThreadPoolExecutor
         ex = ThreadPoolExecutor(max_workers=1)
         try:
             fut = ex.submit(job, starts[0])
             for nxt in starts[1:]:
+                t0 = time.time()
                 cur = fut.result()
+                self._io_block += time.time() - t0
                 fut = ex.submit(job, nxt)
                 yield cur
-            yield fut.result()
+            t0 = time.time()
+            last = fut.result()
+            self._io_block += time.time() - t0
+            yield last
         finally:
             ex.shutdown(wait=False)
+
+    def _io_reset(self):
+        self._io_pack = self._io_block = 0.0
+        self._io_t0 = time.time()
+
+    def _io_stash(self, fetch_s: float):
+        wall = time.time() - self._io_t0
+        self.last_io_stats = {
+            "wall_s": round(wall, 4),
+            "host_pack_s": round(self._io_pack, 4),
+            "host_block_s": round(self._io_block, 4),
+            "fetch_s": round(fetch_s, 4),
+            # dispatch-loop occupancy: fraction of wall NOT spent waiting
+            # for host packing or result fetches -- the device-feed duty
+            # cycle the prefetch pipeline is supposed to maximize
+            "feed_busy_frac": round(
+                max(0.0, 1.0 - (self._io_block + fetch_s) / wall)
+                if wall > 0 else 0.0, 4),
+        }
 
     @staticmethod
     def _native():
@@ -484,8 +524,11 @@ class Engine:
         if build:
             # build graphs touching multi-GiB planes compile unreliably at
             # larger batches on the remote TPU compile helper; keep the
-            # r3-proven assembly batch for builds
-            return _bucket_size(n, min(self.batch, 16384), self.mesh)
+            # r3-proven assembly batch for builds. COMMET_TPU_BUILD_BATCH
+            # overrides the clamp (probe has COMMET_TPU_PROBE_BATCH).
+            cap = int(os.environ.get("COMMET_TPU_BUILD_BATCH",
+                                     str(min(self.batch, 16384))))
+            return _bucket_size(n, cap, self.mesh)
         cap = max(self.batch, int(os.environ.get(
             "COMMET_TPU_PROBE_BATCH", "65536")))
         return _bucket_size(n, cap, self.mesh)
@@ -553,6 +596,15 @@ class Engine:
             # CPU wide (tests only): fall through to the native build
         else:
             self._finish_index_keys(None)
+        bulk_env = os.environ.get("COMMET_TPU_BULK_BUILD", "1")
+        use_bulk = (self.mesh is None
+                    and (jax.devices()[0].platform != "cpu"
+                         or bulk_env == "force")
+                    and bulk_env != "0")
+        if use_bulk:
+            if planes is None:
+                planes = self._alloc_planes()
+            return self._build_planes_bulk(planes, enc, idx)
         if jax.devices()[0].platform != "cpu":
             # packed transport: the tunneled uplink is the bottleneck
             if planes is None:
@@ -587,6 +639,58 @@ class Engine:
             planes = kernels.build_chunk(
                 planes, self._dev(np.asarray(codes, np.int32), "rep"),
                 self.k)
+        return planes
+
+    def _build_planes_bulk(self, planes, enc: EncodedSet, idx: np.ndarray):
+        """High-fill plane build as few huge sorted scatters (VERDICT r4
+        #1): collect the partition's window keys once with the stream
+        keygen kernel, then per plane derive+sort+dedup each ~2^27-entry
+        chunk and write it with ONE unique-index scatter-set -- no
+        existing-bit gathers, and sorts at the measured flat ~4.3 ms/M
+        rate. ~3x the per-batch build at the reference-default 1e9-k-mer
+        partition (kernels.py bulk design notes)."""
+        from commet_tpu.core import stream as _stream
+        lengths = enc.read_lengths(idx)
+        lpad = _pad_length(int(lengths.max(initial=1)), self.k)
+        w = kernels.plane_words(self.k)
+        # chunk capacity: entries per sorted scatter round. 2^27 keeps the
+        # sort operands + derived streams inside HBM next to 4 GiB planes
+        # at k=33; smaller planes can afford larger chunks.
+        default_cap = 1 << (27 if self.k >= 32 else 28)
+        cap = int(os.environ.get("COMMET_TPU_BULK_CHUNK", str(default_cap)))
+        wide = self.k > 32
+        acc: List = []
+        slots = 0
+
+        def flush():
+            nonlocal acc, slots, planes
+            if not acc:
+                return
+            if len(acc) == 1:
+                ka, kb, hib, fl = acc[0]
+            else:
+                ka = jnp.concatenate([a[0] for a in acc])
+                kb = jnp.concatenate([a[1] for a in acc])
+                hib = jnp.concatenate([a[2] for a in acc]) if wide else None
+                fl = jnp.concatenate([a[3] for a in acc])
+            acc = []
+            slots = 0
+            for p in range(4):
+                word, or_mask = kernels.bulk_plane_sorted(
+                    ka, kb, hib if wide else fl, fl, self.k, p, wide)
+                scratch = kernels.bulk_scatter_set(
+                    jnp.zeros(w, jnp.uint32), word, or_mask)
+                planes = kernels.bulk_or_plane(planes, scratch, p * w, w)
+
+        for _sl, c2, vd, _ln, _cl in self._batched_packed(
+                enc, idx, lpad, size=self._device_batch(len(idx))):
+            ka, kb, hib, fl, _cnt = _stream.chunk_index_keys(
+                jnp.asarray(c2), jnp.asarray(vd), lpad, self.k)
+            acc.append((ka, kb, hib, fl))
+            slots += int(ka.size)
+            if slots >= cap:
+                flush()
+        flush()
         return planes
 
     def _finish_index_keys(self, collect):
@@ -687,6 +791,7 @@ class Engine:
                         interpret=self._stream_interpret, packed=True))
             dp_stream, dp_stream_packed = self._stream_dp_fns[key]
         pending = []  # (slice, device verdict) -- sync after dispatching
+        self._io_reset()
         for sl, c2, vd, ln, clean in self._batched_packed(enc, idx, lpad,
                                                           size=size):
             if dp:
@@ -713,11 +818,13 @@ class Engine:
                     ihibs=(sx.ihib,) if sx.ihib is not None else None)[0]
             pending.append((sl, verdict))
         amb_parts = []
+        t_fetch = time.time()
         for sl, verdict in pending:
             got = np.asarray(verdict)[: sl.stop - sl.start]
             tags[sl] = got == kernels.VERDICT_TAGGED
             amb_parts.append(np.arange(sl.start, sl.stop)[
                 got == kernels.VERDICT_AMBIG])
+        self._io_stash(time.time() - t_fetch)
         amb = (np.concatenate(amb_parts) if amb_parts
                else np.zeros(0, dtype=np.int64))
         if len(amb):
@@ -823,6 +930,8 @@ class Engine:
                              max(self.batch,
                                  int(os.environ.get("COMMET_TPU_PROBE_BATCH",
                                                     "65536"))), self.mesh)
+        self._io_reset()
+        fetch_s = 0.0
         for v in rounds:
             if not len(amb):
                 return tags
@@ -849,12 +958,15 @@ class Engine:
                             self.k, self.t, v, wmax)
                     pending.append((sl, verdict))
             amb_parts = []
+            t_fetch = time.time()
             for sl, verdict in pending:
                 got = np.asarray(verdict)[: sl.stop - sl.start]
                 tags[amb[sl]] = got == kernels.VERDICT_TAGGED
                 amb_parts.append(amb[sl][got == kernels.VERDICT_AMBIG])
+            fetch_s += time.time() - t_fetch
             amb = (np.concatenate(amb_parts) if amb_parts
                    else np.zeros(0, dtype=np.int64))
+        self._io_stash(fetch_s)
         if len(amb):
             tags[amb] = self._search_full(planes, enc, idx[amb])
         return tags
@@ -869,11 +981,16 @@ class Engine:
     # the pairwise path: per (index, partition) verdicts use the same join
     # kernel and the same exact fallback.
 
-    def build_resident(self, index_set: ReadSet) -> Optional[ResidentIndex]:
+    def build_resident(self, index_set: ReadSet,
+                       budget: Optional[float] = None
+                       ) -> Optional[ResidentIndex]:
         """Build every max_kmer partition of ``index_set`` as a resident
         planeless StreamIndex. Returns None when this engine/config cannot
         serve it (stream off, wide keys, mesh mode, high fill, or the
-        device-memory budget COMMET_TPU_RESIDENT_BUDGET would be exceeded)
+        device-memory budget COMMET_TPU_RESIDENT_BUDGET would be exceeded).
+        ``budget`` optionally narrows the allowance further (the amortized
+        driver passes its REMAINING cumulative budget, so an index that
+        would overshoot is rejected BEFORE any device allocation happens)
         -- callers fall back to the pairwise index_and_search path."""
         if not (self.stream and self.k <= 34 and self.mesh is None):
             return None
@@ -885,8 +1002,13 @@ class Engine:
             np.zeros(0, dtype=np.int64)
         parts = self.partitions(kcounts)
         total = int(kcounts.sum())
-        budget = float(os.environ.get("COMMET_TPU_RESIDENT_BUDGET", "6e9"))
-        if total * 24.0 > budget:  # ~24 B/k-mer: join planes + exact sets
+        env_budget = float(os.environ.get("COMMET_TPU_RESIDENT_BUDGET",
+                                          "6e9"))
+        if budget is not None:
+            env_budget = min(env_budget, budget)
+        # ~24 B/k-mer: join planes + exact sets (narrow keys) or hi-bit
+        # plane (wide keys); checked before any device work
+        if total * 24.0 > env_budget:
             return None
         for part in parts:
             fill = float(kcounts[part].sum()) / float(2 ** self.k)
@@ -1001,7 +1123,12 @@ class Engine:
         logs, and counters as len(residents) pairwise index_and_search
         calls would (keyed by resident/index name), with identical tags:
         per-partition join verdicts OR-ed across partitions, AMBIG residue
-        through the exact sorted-set probe."""
+        through the exact sorted-set probe.
+
+        Returns None when the batch geometry cannot serve the query set
+        (reads so long a 2048-read batch still overflows the packed
+        unsort's 2^30-key budget) -- the caller falls back to the classic
+        pairwise schedule, which handles any read length (VERDICT r4 #7)."""
         from commet_tpu.core import stream as _stream
         t_start = time.time()
         enc_q = EncodedSet(query_set)
@@ -1009,6 +1136,7 @@ class Engine:
         slots = [(ri, pi, sx) for ri, r in enumerate(residents)
                  for pi, sx in enumerate(r.partitions)]
         tags_slot = np.zeros((len(slots), len(cand)), dtype=bool)
+        fb_time = [0.0] * len(residents)  # per-resident exact-fallback time
         if len(cand) and slots:
             lengths = enc_q.read_lengths(cand)
             lmax = int(lengths.max(initial=1))
@@ -1019,7 +1147,7 @@ class Engine:
             while size > 2048 and size * 2 * wmax > _stream.MAX_UNSORT_KEYS:
                 size //= 2
             if size * 2 * wmax > _stream.MAX_UNSORT_KEYS:
-                raise ValueError("reads too long for the streamed probe")
+                return None  # absurdly long reads: pairwise path serves
             mi_max = max(1, max(int(sx.mi) for _ri, _pi, sx in slots))
             jchunk = _stream.pick_chunk(size * 2 * wmax, mi_max)
             # groups bound the unpacked [S, B, 2, W] verdict volume
@@ -1027,6 +1155,8 @@ class Engine:
                       for i in range(0, len(slots), max_slots)]
             base = 0
             wide = self.k > 32
+            self._io_reset()
+            fetch_s = 0.0
             for group in groups:
                 ikas = tuple(sx.ika for _ri, _pi, sx in group)
                 ikbs = tuple(sx.ikb for _ri, _pi, sx in group)
@@ -1048,6 +1178,7 @@ class Engine:
                             interpret=self._stream_interpret, ihibs=ihibs)
                     pending.append((_sl, v))
                 amb_slot = [[] for _ in group]
+                t_fetch = time.time()
                 for sl, v in pending:
                     got = np.asarray(v)[:, : sl.stop - sl.start]
                     tags_slot[base : base + len(group), sl] = \
@@ -1055,11 +1186,13 @@ class Engine:
                     for s in range(len(group)):
                         amb_slot[s].append(np.arange(sl.start, sl.stop)[
                             got[s] == kernels.VERDICT_AMBIG])
+                fetch_s += time.time() - t_fetch
                 for s, (ri, pi, sx) in enumerate(group):
                     amb = (np.concatenate(amb_slot[s]) if amb_slot[s]
                            else np.zeros(0, dtype=np.int64))
                     if not len(amb):
                         continue
+                    t_fb = time.time()
                     if sx.sa is not None:
                         tags_slot[base + s, amb] = self._exact_sets_rows(
                             sx, enc_q, cand[amb], lpad, wmax)
@@ -1067,11 +1200,18 @@ class Engine:
                         tags_slot[base + s, amb] = self._host_exact_wide(
                             residents[ri].host_exact_sets(pi), enc_q,
                             cand[amb], lpad, wmax)
+                    fb_time[ri] += time.time() - t_fb
                 base += len(group)
+            self._io_stash(fetch_s)
         search_elapsed = time.time() - t_start
         counters = {}
         si = 0
-        for r in residents:
+        # per-pair log honesty (VERDICT r4 weak #6): the joint streamed
+        # probe genuinely serves all residents at once, so its cost is an
+        # equal share; each resident's exact-fallback time is its own and
+        # is attributed individually
+        joint = max(0.0, search_elapsed - sum(fb_time))
+        for ri, r in enumerate(residents):
             np_r = len(r.partitions)
             tr = tags_slot[si : si + np_r]
             si += np_r
@@ -1083,7 +1223,7 @@ class Engine:
                 "searched": len(cand) - int(before_last.sum()),
                 "shared": int(tags.sum()),
                 "index_time": r.build_seconds,
-                "search_time": search_elapsed / max(1, len(residents)),
+                "search_time": joint / max(1, len(residents)) + fb_time[ri],
                 "total_time": time.time() - t_start,
             }
             counters[r.name] = c

@@ -150,9 +150,10 @@ class ReadFile:
     def __init__(self, path: str, bv_path: Optional[str] = None,
                  use_native: Optional[bool] = None):
         self.path = path
-        if not os.path.isfile(path):
+        if not os.path.exists(path):
             # reference readers exit(1) with this message
-            # (include/fasta_file.h:55-57)
+            # (include/fasta_file.h:55-57). exists (not isfile): the
+            # reference's ifstream reads FIFOs/process substitution too
             raise FileNotFoundError(2, "Cannot open read file", path)
         if use_native is None:
             use_native = _HAVE_NATIVE

@@ -59,8 +59,25 @@ def dp_shardings(mesh: Mesh):
     return (NamedSharding(mesh, P()), NamedSharding(mesh, P("d")))
 
 
-def dp_fits(k: int, hbm_bytes: int = 12 << 30) -> bool:
+def device_hbm_bytes(default: int = 12 << 30) -> int:
+    """Per-device HBM capacity probed from the runtime
+    (``memory_stats()['bytes_limit']``), falling back to a v5e-class
+    constant when the backend does not expose stats (e.g. the CPU
+    backend or a tunneled device plugin) — VERDICT r4 #8."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", 0)) if stats else 0
+        if limit > 0:
+            return limit
+    except Exception:  # noqa: BLE001 - stats are best-effort everywhere
+        pass
+    return default
+
+
+def dp_fits(k: int, hbm_bytes: int | None = None) -> bool:
     """Do the 4 planes (2^(k-1) bytes) fit comfortably in one chip's HBM?"""
+    if hbm_bytes is None:
+        hbm_bytes = device_hbm_bytes()
     return (1 << max(k - 1, 0)) <= hbm_bytes // 2
 
 

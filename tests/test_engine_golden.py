@@ -7,7 +7,7 @@ import os
 import pytest
 
 from commet_tpu.cli import index_and_search as ias_cli
-from util import slice_fasta as _slice_fasta
+from util import ensure_refbuild, slice_fasta as _slice_fasta
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "unit")
 DATA = os.path.join(os.path.dirname(__file__), "data")
@@ -66,9 +66,9 @@ def test_partitioned_k15_golden(tmp_path):
     _slice_fasta("/root/reference/ABCDE_bench/B.fa", b_fa, 500)
     out = run_ias(tmp_path, [f"A: {a_fa}"], [f"B: {b_fa}"], k=15, t=2)
 
-    ref_bin = "/tmp/refbuild/bin/index_and_search"
-    if not os.path.exists(ref_bin):
-        pytest.skip("reference binary not built")
+    ref_bin = ensure_refbuild()
+    if ref_bin is None:
+        pytest.skip("/root/reference not available")
     refout = str(tmp_path / "refout")
     subprocess.run([ref_bin, "-i", str(tmp_path / "index.txt"),
                     "-s", str(tmp_path / "search.txt"),

@@ -164,6 +164,34 @@ def test_build_resident_refuses_unservable(tmp_path, monkeypatch):
     assert eng_off.build_resident(idx_sets[0]) is None
 
 
+def test_multi_long_reads_fall_back(tmp_path, monkeypatch):
+    """A query read too long for the packed unsort geometry (> 2^30 window
+    keys at the minimum 2048-read batch) makes search_multi_set return
+    None instead of raising, so the driver can fall back to the classic
+    pairwise schedule (VERDICT r4 #7 / ADVICE r4)."""
+    rng = np.random.default_rng(7)
+    fresh_selfcheck(monkeypatch)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "force")
+    idx_sets, _ = _mk(tmp_path, rng, n_idx_sets=1)
+    eng = Engine(k=K, t=T, batch=64)
+    r = eng.build_resident(idx_sets[0])
+    assert r is not None
+
+    # one ~300kb read: wmax ~ 3e5 > 2^30 / (2048 * 2)
+    long_fa = str(tmp_path / "long.fa")
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seq = lut[rng.integers(0, 4, size=300_000)].tobytes()
+    with open(long_fa, "wb") as f:
+        f.write(b">long\n" + seq + b"\n")
+    rs_q = ReadSet("QL")
+    rs_q.add_file(long_fa)
+    assert eng.search_multi_set(rs_q, [r], save=False) is None
+
+    # budget pre-check: a remaining-budget argument below the estimated
+    # footprint refuses before any device allocation
+    assert eng.build_resident(idx_sets[0], budget=10.0) is None
+
+
 def test_multi_wide_matches_pairwise(tmp_path, monkeypatch):
     """k=33 (the reference default) amortized engine path: wide-key joins
     carry the packed hi-bit streams; the tiny AMBIG residue resolves

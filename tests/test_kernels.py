@@ -192,3 +192,67 @@ def test_greedy_fast_matches_scan(t):
                                          k, t))
     b = np.asarray(kernels._greedy_count_fast(jnp.asarray(mem), k, t))
     assert (a == b).all()
+
+
+@pytest.mark.parametrize("k", [15, 32, 33])
+def test_bulk_build_matches_build_chunk(k):
+    """The bulk sorted-scatter build (bulk_plane_sorted + bulk_scatter_set
+    + bulk_or_plane, the high-fill TPU build path) must produce planes
+    bit-identical to build_chunk, including multi-chunk flushes through
+    the scratch-plane OR and invalid-base window resets."""
+    from commet_tpu.core import stream as _stream
+
+    rng = np.random.default_rng(11)
+    n, lpad = 96, 64
+    codes_np = rng.integers(0, 4, size=(n, lpad)).astype(np.int32)
+    codes_np[rng.random(size=codes_np.shape) < 0.03] = 4  # invalid bases
+    codes = jnp.asarray(codes_np)
+    want = np.asarray(kernels.build_chunk(kernels.alloc_planes(k), codes, k))
+
+    wide = k > 32
+    w = kernels.plane_words(k)
+    planes = kernels.alloc_planes(k)
+    # two flushes (rows split) exercise cross-chunk accumulation
+    for rows in (slice(0, 40), slice(40, n)):
+        ka, kb, hib, fl, _cnt = _stream.chunk_index_keys_codes(
+            codes[rows], k)
+        for p in range(4):
+            word, or_mask = kernels.bulk_plane_sorted(
+                ka, kb, hib if wide else fl, fl, k, p, wide)
+            scratch = kernels.bulk_scatter_set(
+                jnp.zeros(w, jnp.uint32), word, or_mask)
+            planes = kernels.bulk_or_plane(planes, scratch, p * w, w)
+    assert (np.asarray(planes) == want).all()
+
+
+def test_engine_bulk_build_matches(tmp_path):
+    """Engine._build_planes_bulk (COMMET_TPU_BULK_BUILD=force on CPU) ==
+    the classic engine build, end-to-end through gather_packed batching."""
+    import os
+
+    from commet_tpu.engine.engine import Engine, EncodedSet
+    from commet_tpu.io.reads import ReadSet
+
+    rng = np.random.default_rng(12)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = str(tmp_path / "i.fa")
+    with open(fa, "wb") as f:
+        for i in range(300):
+            s = lut[rng.integers(0, 4, size=70)].tobytes()
+            f.write(b">r%d\n%s\n" % (i, s))
+    rs = ReadSet("I")
+    rs.add_file(fa)
+    k = 21
+    eng = Engine(k=k, t=2, batch=64)
+    enc = EncodedSet(rs)
+    elig = rs.eligible()
+    want = np.asarray(kernels.build_chunk(
+        kernels.alloc_planes(k),
+        jnp.asarray(enc.gather_batch(elig, 70), jnp.int32), k))
+    os.environ["COMMET_TPU_BULK_CHUNK"] = "8192"  # force many chunks
+    try:
+        got = np.asarray(eng._build_planes_bulk(
+            kernels.alloc_planes(k), enc, elig))
+    finally:
+        del os.environ["COMMET_TPU_BULK_CHUNK"]
+    assert (got == want).all()

@@ -66,3 +66,35 @@ def test_unknown_dep_rejected():
     g.add("a", lambda: None, deps=["ghost"])
     with pytest.raises(ValueError):
         g.run()
+
+
+def test_hundred_set_all_vs_all_fanout():
+    """BASELINE config-5 shape smoke (VERDICT r4 #3b): the N=100 all-vs-all
+    DAG — 99 step-0 jobs + 4,950 pair chains (9,900 refinement jobs) —
+    must schedule, respect the per-round ordering invariants, and finish.
+    Job bodies are mocked (the engine's correctness at fan-out is covered
+    by the driver goldens); this is the scheduler's collapse test."""
+    n = 100
+    order = []
+    lock = threading.Lock()
+
+    def mark(name):
+        def run():
+            with lock:
+                order.append(name)
+        return run
+
+    g = JobGraph(workers=8)
+    for i in range(n - 1):
+        g.add(f"all_in_{i}", mark(f"all_in_{i}"), device=True)
+        for j in range(i + 1, n):
+            a = g.add(f"{i}_in_{j}", mark(f"{i}_in_{j}"),
+                      deps=[f"all_in_{i}"], device=True)
+            g.add(f"{j}_in_{i}", mark(f"{j}_in_{i}"), deps=[a], device=True)
+    assert len(g.jobs) == (n - 1) + 2 * (n * (n - 1) // 2)
+    g.run()
+    assert len(order) == len(g.jobs)
+    pos = {name: p for p, name in enumerate(order)}
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            assert pos[f"all_in_{i}"] < pos[f"{i}_in_{j}"] < pos[f"{j}_in_{i}"]

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from commet_tpu.core import kernels
 from commet_tpu.parallel import sharded
-from util import slice_fasta as _slice_fasta
+from util import ensure_refbuild, slice_fasta as _slice_fasta
 
 
 @pytest.fixture(scope="module")
@@ -74,9 +74,9 @@ def test_sharded_engine_matches_golden(mesh, tmp_path):
     out = str(tmp_path)
     eng.index_and_search(index_set, [query], out_dir=out, log_dir=out)
 
-    ref_bin = "/tmp/refbuild/bin/index_and_search"
-    if not os.path.exists(ref_bin):
-        pytest.skip("reference binary not built")
+    ref_bin = ensure_refbuild()
+    if ref_bin is None:
+        pytest.skip("/root/reference not available")
     fof_i = tmp_path / "i.txt"
     fof_s = tmp_path / "s.txt"
     fof_i.write_text(f"A: {a_fa}\n")
