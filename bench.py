@@ -306,7 +306,7 @@ def main():
     # (~6 min incl. the live reference) -- COMMET_TPU_BENCH_FILL33=0 skips.
     if os.environ.get("COMMET_TPU_BENCH_FILL33", "1") != "0":
         try:
-            f33 = bench_realfill(KF=33, reps=2)
+            f33 = bench_realfill(KF=33, reps=2, multi_s=1)
             pair_extra.update({k.replace("fill_", "fill33_"): v
                                for k, v in f33.items()})
         except Exception as exc:
@@ -432,7 +432,7 @@ def bench_multi(rng, ika, ikb, mi, query, lpad, planes, tags_expected):
     }
 
 
-def bench_realfill(KF=30, n_qry=131_072, ref_reps=1, reps=2):
+def bench_realfill(KF=30, n_qry=131_072, ref_reps=1, reps=2, multi_s=4):
     """The reference's DEFAULT-REGIME fill: max_kmer = 1e9/2^(33-k) pins
     every full partition at 11.6% plane fill regardless of k
     (src/index_and_search.cpp:73,146). k=30 reproduces that regime at
@@ -552,7 +552,82 @@ def bench_realfill(KF=30, n_qry=131_072, ref_reps=1, reps=2):
             f"{ref_search:.2f}s, shared {ref_shared} (agrees); ours "
             f"{out['fill_vs_baseline']}x search, "
             f"{out['fill_pair_speedup']}x pair")
+    if multi_s > 1:
+        try:
+            out.update(bench_fillmulti(workdir, idx_fa, qry_fa, KF, n_qry,
+                                       counters["shared"],
+                                       out.get("fill_ref_search_reads_per_sec"),
+                                       write_fasta, S=multi_s))
+        except Exception as exc:
+            log(f"fill-multi benchmark skipped: {exc}")
     shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def bench_fillmulti(workdir, idx_fa, qry_fa, KF, n_qry, expect_shared,
+                    ref_rate, write_fasta, S=4):
+    """Amortized multi-index search AT THE DEFAULT-REGIME FILL (VERDICT r4
+    #2): S resident dense-plane indexes (each a full max_kmer partition at
+    11.6% fill, where the sorted-join stream gates itself off), one batch
+    upload + window-key computation per query batch serving every
+    cascade (engine.search_multi_set_planes). Slot 0 is the pairwise
+    index; its shared count must agree with the pairwise run, proving
+    bit-exact tags at high fill."""
+    import os
+
+    from commet_tpu.engine.engine import Engine
+    from commet_tpu.io.reads import ReadSet
+
+    eng = Engine(k=KF, t=T, batch=16384)
+    sets = []
+    t0 = time.time()
+    for s in range(S):
+        if s == 0:
+            path = idx_fa
+        else:
+            path = os.path.join(workdir, f"i{s}.fa")
+            # same shape/scale as the pairwise index, different content
+            n_idx = sum(1 for _ in open(idx_fa)) // 2
+            write_fasta(path, n_idx)
+        rs = ReadSet(f"I{s}")
+        rs.add_file(path)
+        sets.append(rs)
+    log(f"fill-multi: {S - 1} extra index sets written in "
+        f"{time.time()-t0:.1f}s")
+    wait_for_healthy_tunnel(tries=2)
+    t0 = time.time()
+    residents = [eng.build_resident_planes(rs) for rs in sets]
+    build_s = time.time() - t0
+    assert all(r is not None for r in residents)
+    log(f"fill-multi: {S} resident plane indexes built in {build_s:.1f}s "
+        f"({sum(r.total_kmers for r in residents)/1e6:.0f}M k-mers)")
+
+    def run():
+        rs_q = ReadSet("Q")
+        rs_q.add_file(qry_fa)
+        return eng.search_multi_set_planes(rs_q, residents, save=False)
+
+    got = run()  # warm
+    wait_for_healthy_tunnel(tries=2)
+    dt = 9e9
+    for _ in range(2):
+        t0 = time.time()
+        got = run()
+        dt = min(dt, time.time() - t0)
+    assert got["I0"]["shared"] == expect_shared, \
+        (got["I0"]["shared"], expect_shared)
+    per_pair = dt / S
+    rate = n_qry / per_pair
+    out = {"fillmulti_s": S,
+           "fillmulti_per_pair_reads_per_sec": round(rate, 1),
+           "fillmulti_total_time_s": round(dt, 3),
+           "fillmulti_build_s": round(build_s, 2)}
+    if ref_rate:
+        out["fillmulti_vs_baseline"] = round(rate / ref_rate, 3)
+    log(f"fill-multi (S={S}, fill 11.6%): {dt:.2f}s total = "
+        f"{per_pair*1000:.0f} ms/pair = {rate:,.0f} reads/s/pair"
+        + (f" = {out['fillmulti_vs_baseline']}x reference" if ref_rate
+           else "") + "; slot-0 shared agrees")
     return out
 
 
@@ -997,7 +1072,7 @@ def bench_big():
 
 
 def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
-                   keep_dir=None):
+                   keep_dir=None, overlap=0.2, ref_mode="full"):
     """BASELINE config-4/5 shape: N sets x R reads FULL all-vs-all
     (filter + step-0 + the 3-pass per-pair refinement + matrices) through
     our driver, against the reference binaries driven in the exact
@@ -1007,7 +1082,16 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
     The reference's own Commet.py is python2 and cannot run here; its
     schedule is replayed verbatim with the same fof manifests against
     /tmp/refbuild binaries (filter_reads + index_and_search), which do
-    all the actual work the driver would invoke."""
+    all the actual work the driver would invoke.
+
+    ref_mode="sample" (for config-4 scale, where the full sequential
+    reference schedule is hours of single-core work): the reference runs
+    a REPRESENTATIVE job of each type -- one filter_reads file, one
+    step-0 (index the second-to-last set, search the last), and that
+    pair's full a/b refinement -- and the schedule total is extrapolated
+    linearly per job type (every set has the same size, so per-job costs
+    are uniform). Extrapolated numbers are labeled *_extrapolated_s; the
+    sampled pair's final .bv files are still byte-compared against ours."""
     import glob
     import os
     import shutil
@@ -1019,9 +1103,14 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
     workdir = keep_dir or tempfile.mkdtemp(prefix="commet_ava_")
     os.makedirs(workdir, exist_ok=True)
     t0 = time.time()
-    files = []
-    donor = None
-    for si in range(n_sets):
+    files = [os.path.join(workdir, f"S{si}.fa") for si in range(n_sets)]
+    if keep_dir and all(os.path.exists(p) and os.path.getsize(p) >
+                        n_reads * READ_LEN for p in files):
+        pass  # resume: every set already fully written
+    else:
+      files = []
+      donor = None
+      for si in range(n_sets):
         path = os.path.join(workdir, f"S{si}.fa")
         with open(path, "wb") as f:
             for s in range(0, n_reads, 250_000):
@@ -1031,13 +1120,14 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
                 if donor is None:
                     donor = codes[: min(cnt, 4096)].copy()
                 else:
-                    # ~20% of reads carry fragments shared with set 0
-                    fifth = cnt // 5
+                    # ~overlap fraction of reads carry fragments shared
+                    # with set 0's donor pool (so every pair overlaps)
+                    novl = int(cnt * overlap)
                     frag = 2 * kcfg
-                    dn = donor[rng.integers(0, len(donor), size=fifth)]
-                    ds = rng.integers(0, READ_LEN - frag + 1, size=fifth)
-                    qs = rng.integers(0, READ_LEN - frag + 1, size=fifth)
-                    rows = np.arange(fifth)[:, None]
+                    dn = donor[rng.integers(0, len(donor), size=novl)]
+                    ds = rng.integers(0, READ_LEN - frag + 1, size=novl)
+                    qs = rng.integers(0, READ_LEN - frag + 1, size=novl)
+                    rows = np.arange(novl)[:, None]
                     cols = np.arange(frag)
                     codes[rows, qs[:, None] + cols] = \
                         dn[rows, ds[:, None] + cols].astype(np.int8)
@@ -1045,7 +1135,7 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
                 f.write(b"".join(b">r%d\n%s\n" % (s + i, seqs[i].tobytes())
                                  for i in range(cnt)))
         files.append(path)
-    log(f"allvsall workload: {n_sets} sets x {n_reads} reads written in "
+    log(f"allvsall workload: {n_sets} sets x {n_reads} reads ready in "
         f"{time.time()-t0:.0f}s")
 
     fof = os.path.join(workdir, "sets.txt")
@@ -1096,6 +1186,11 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
     if os.path.exists(os.path.join(ref_bin_dir, "index_and_search")):
         ref_dir = os.path.join(workdir, "ref/")
         os.makedirs(ref_dir, exist_ok=True)
+        if ref_mode == "sample":
+            return _allvsall_ref_sample(out, workdir, ref_dir, ref_bin_dir,
+                                        read_matrix, names, bv_matrix,
+                                        ours_dir, n_sets, kcfg, keep_dir,
+                                        t_pairs, t_filter)
         t0 = time.time()
         for line in read_matrix:  # filterAllReads, Commet.py:103-121
             for path in line:
@@ -1170,6 +1265,131 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
     return out
 
 
+def _allvsall_ref_sample(out, workdir, ref_dir, ref_bin_dir, read_matrix,
+                         names, bv_matrix, ours_dir, n_sets, kcfg,
+                         keep_dir, t_pairs, t_filter):
+    """Sampled reference schedule for config-4 scale (see bench_allvsall
+    docstring): one job of each type measured live, totals extrapolated
+    linearly (all sets are the same size) and labeled as such. The sampled
+    pair's final .bv outputs are byte-compared against ours, and the
+    sampled filter bv against ours' filter bv."""
+    import os
+    import shutil
+    import subprocess
+
+    npairs = n_sets * (n_sets - 1) // 2
+    n_files = sum(len(line) for line in read_matrix)
+
+    # --- one filter_reads job + parity of its bv vs ours
+    f0 = read_matrix[0][0]
+    t0 = time.time()
+    subprocess.run(
+        [os.path.join(ref_bin_dir, "filter_reads"), f0, "-l", "0",
+         "-e", "0", "-o", ref_dir + os.path.basename(f0) + ".bv"],
+        capture_output=True, check=True)
+    t_f = time.time() - t0
+    with open(ref_dir + os.path.basename(f0) + ".bv", "rb") as fh1, \
+            open(bv_matrix[0][0], "rb") as fh2:
+        assert fh1.read() == fh2.read(), "sampled filter bv differs"
+    log(f"ref sample: filter_reads {t_f:.1f}s/file "
+        f"(x{n_files} files = {t_f*n_files:.0f}s extrapolated); bv agrees")
+
+    # --- one step-0 (index S[n-2], search S[n-1]) + that pair's a/b
+    # refinement. Index fofs use ours' filter bvs (byte-identical, as the
+    # sampled filter job just proved).
+    si, sj = n_sets - 2, n_sets - 1
+
+    def write_fof(path, ids, bvs):
+        with open(path, "w") as f:
+            for i in ids:
+                ents = ";".join(f"{fn},{bv}" for fn, bv in
+                                zip(read_matrix[i], bvs(i)))
+                f.write(f"{names[i]}: {ents}\n")
+
+    def ias(fof_i, fof_s):
+        subprocess.run(
+            [os.path.join(ref_bin_dir, "index_and_search"),
+             "-i", fof_i, "-s", fof_s, "-t", str(T), "-k", str(kcfg),
+             "-o", ref_dir, "-l", ref_dir],
+            capture_output=True, check=True)
+
+    def log_times(qname, iname):
+        with open(os.path.join(ref_dir, f"{qname}_in_{iname}.log")) as f:
+            lines = f.read().strip().splitlines()
+        return (float(lines[0].split(":")[1].strip(" s")),
+                float(lines[1].split(":")[1].strip(" s")))
+
+    tmp_i = os.path.join(workdir, "tmp_i.txt")
+    tmp_s = os.path.join(workdir, "tmp_s.txt")
+    write_fof(tmp_i, [si], lambda i: bv_matrix[i])
+    write_fof(tmp_s, [sj], lambda i: bv_matrix[i])
+    t0 = time.time()
+    ias(tmp_i, tmp_s)  # step 0 (1 index + 1 query set)
+    t_step0 = time.time() - t0
+    t_build, t_search = log_times(names[sj], names[si])
+
+    write_fof(tmp_i, [sj], lambda i: [
+        ref_dir + os.path.basename(fn) + "_in_" + names[si] + ".bv"
+        for fn in read_matrix[i]])
+    write_fof(tmp_s, [si], lambda i: bv_matrix[i])
+    t0 = time.time()
+    ias(tmp_i, tmp_s)  # step a
+    t_a = time.time() - t0
+    write_fof(tmp_i, [si], lambda i: [
+        ref_dir + os.path.basename(fn) + "_in_" + names[sj] + ".bv"
+        for fn in read_matrix[i]])
+    write_fof(tmp_s, [sj], lambda i: bv_matrix[i])
+    t0 = time.time()
+    ias(tmp_i, tmp_s)  # step b
+    t_b = time.time() - t0
+    log(f"ref sample: step0 {t_step0:.0f}s (build {t_build:.0f}s + "
+        f"search {t_search:.0f}s/set), refine a {t_a:.0f}s b {t_b:.0f}s")
+
+    # --- linear extrapolation over the Commet.py:186-240 schedule:
+    # (n_sets-1) step-0 builds, npairs step-0 searches, npairs (a+b) pairs
+    ref_filter_x = t_f * n_files
+    ref_pairs_x = (t_build * (n_sets - 1) + t_search * npairs
+                   + (t_a + t_b) * npairs)
+    out.update({
+        "ava_ref_mode": "sampled+extrapolated",
+        "ava_ref_sample_filter_s": round(t_f, 1),
+        "ava_ref_sample_build_s": round(t_build, 1),
+        "ava_ref_sample_search_s": round(t_search, 1),
+        "ava_ref_sample_refine_ab_s": round(t_a + t_b, 1),
+        "ava_ref_filter_extrapolated_s": round(ref_filter_x, 1),
+        "ava_ref_pairs_extrapolated_s": round(ref_pairs_x, 1),
+        "ava_ref_total_extrapolated_s": round(ref_filter_x + ref_pairs_x,
+                                              1),
+        "ava_pairs_speedup_vs_extrapolated": round(ref_pairs_x / t_pairs,
+                                                   2),
+        "ava_filter_speedup_vs_extrapolated": round(
+            ref_filter_x / max(t_filter, 1e-9), 2),
+    })
+    log(f"allvsall REFERENCE (extrapolated from samples): filter "
+        f"{ref_filter_x:.0f}s, pairs {ref_pairs_x:.0f}s; ours pairs "
+        f"speedup {out['ava_pairs_speedup_vs_extrapolated']}x "
+        f"[extrapolation, not a full measured run]")
+
+    # --- parity on everything the reference actually produced
+    import glob
+    mismatch = []
+    compared = 0
+    for p in sorted(glob.glob(os.path.join(ref_dir, "*_in_*.bv"))):
+        q = os.path.join(ours_dir, os.path.basename(p))
+        compared += 1
+        with open(p, "rb") as f1, open(q, "rb") as f2:
+            if f1.read() != f2.read():
+                mismatch.append(os.path.basename(p))
+    out["ava_bv_files_compared"] = compared
+    out["ava_bv_mismatches"] = mismatch
+    assert not mismatch, f"bv mismatch at fan-out: {mismatch[:5]}"
+    log(f"allvsall parity: {compared} sampled-pair result bvs "
+        f"byte-identical")
+    if keep_dir is None:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     if "--allvsall" in sys.argv:
         from commet_tpu.config import enable_compile_cache
@@ -1177,7 +1397,14 @@ if __name__ == "__main__":
         i = sys.argv.index("--allvsall")
         ns = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 10
         nr = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 1_000_000
-        print(json.dumps(bench_allvsall(n_sets=ns, n_reads=nr)))
+        kw = {}
+        if "--ref-sample" in sys.argv:  # config-4 scale: sampled reference
+            kw["ref_mode"] = "sample"
+        if "--overlap" in sys.argv:
+            kw["overlap"] = float(sys.argv[sys.argv.index("--overlap") + 1])
+        if "--keep-dir" in sys.argv:
+            kw["keep_dir"] = sys.argv[sys.argv.index("--keep-dir") + 1]
+        print(json.dumps(bench_allvsall(n_sets=ns, n_reads=nr, **kw)))
     elif "--big" in sys.argv:
         from commet_tpu.config import enable_compile_cache
         enable_compile_cache()
@@ -1188,6 +1415,6 @@ if __name__ == "__main__":
         # heavy for the per-round bench; results recorded in BENCH_NOTES.md
         from commet_tpu.config import enable_compile_cache
         enable_compile_cache()
-        print(json.dumps(bench_realfill(KF=33, reps=2)))
+        print(json.dumps(bench_realfill(KF=33, reps=2, multi_s=1)))
     else:
         main()

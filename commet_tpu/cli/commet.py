@@ -112,7 +112,12 @@ def run_amortized_rounds(read_matrix, bv_matrix, names, out_dir, end, eng):
         # (ADVICE r4: the old post-build check could OOM first)
         r = eng.build_resident(rs, budget=budget - total_bytes)
         if r is None:
-            return False
+            # high fill / wide residents the stream cannot serve: the
+            # dense-plane cohort schedule amortizes the query transport
+            # + keygen instead (the reference's default regime)
+            del residents
+            return run_plane_cohorts(read_matrix, bv_matrix, names,
+                                     out_dir, end, eng)
         total_bytes += r.device_bytes()
         if total_bytes > budget:
             return False
@@ -129,6 +134,62 @@ def run_amortized_rounds(read_matrix, bv_matrix, names, out_dir, end, eng):
     for i in range(end):
         for j in range(i + 1, n):
             refine_pair(read_matrix, bv_matrix, names, out_dir, i, j, eng)
+    return True
+
+
+def run_plane_cohorts(read_matrix, bv_matrix, names, out_dir, end, eng):
+    """The amortized all-vs-all schedule for the HIGH-FILL regime (the
+    reference's own default: full max_kmer partitions at 11.6% fill,
+    index_and_search.cpp:73,146), where the planeless StreamIndex gates
+    itself off. Step-0 index sets are built as resident dense-plane
+    indexes in contiguous cohorts bounded by device memory; each query set
+    then searches all its cohort predecessors with ONE batch upload +
+    window-key computation per batch (engine.search_multi_set_planes).
+    Pair results are identical to the per-round schedule; refinement runs
+    pairwise as before. Returns False when fewer than 2 indexes fit
+    (amortization would buy nothing -- classic path serves)."""
+    import jax
+    if jax.devices()[0].platform == "cpu" and \
+            os.environ.get("COMMET_TPU_PLANE_COHORTS", "") != "force":
+        return False  # CPU (tests): dense multi-plane batches are slow
+    if end < 2:
+        return False  # nothing to amortize: classic path, no new compiles
+    n = len(names)
+    from commet_tpu.parallel.sharded import device_hbm_bytes
+    # leave headroom for the bulk-build workspace (sort operands + scratch
+    # plane) and the probe batches next to the resident planes
+    budget = float(os.environ.get(
+        "COMMET_TPU_PLANES_BUDGET", str(device_hbm_bytes() - (6 << 30))))
+    max_s = int(os.environ.get("COMMET_TPU_PLANE_COHORT_MAX", "8"))
+    from commet_tpu.core import kernels as _k
+    if 2 * 4 * _k.plane_words(eng.k) * 4 > budget:
+        return False  # cannot hold even a 2-index cohort
+    i = 0
+    while i < end:
+        cohort = []
+        total = 0
+        while i < end and len(cohort) < max_s:
+            rs = _load_set(names[i], read_matrix[i], bv_matrix[i])
+            r = eng.build_resident_planes(rs, budget=budget - total)
+            if r is None:
+                break
+            cohort.append(r)
+            total += r.device_bytes()
+            i += 1
+        if not cohort:
+            return False  # single index exceeds the budget: classic path
+        first = i - len(cohort)
+        for j in range(first + 1, n):
+            targets = cohort[: min(j - first, len(cohort))]
+            rs_q = _load_set(names[j], read_matrix[j], bv_matrix[j])
+            print(f"{names[j]} in {{{', '.join(r.name for r in targets)}}}"
+                  " [plane cohort]")
+            eng.search_multi_set_planes(rs_q, targets, out_dir=out_dir,
+                                        log_dir=out_dir)
+        del cohort  # free the planes before the next cohort builds
+    for a in range(end):
+        for j in range(a + 1, n):
+            refine_pair(read_matrix, bv_matrix, names, out_dir, a, j, eng)
     return True
 
 

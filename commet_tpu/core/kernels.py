@@ -601,6 +601,47 @@ def probe_cascade2_packed(planes, codes2, valid, length: int, k: int, t: int,
     return _probe_cascade2(planes, codes, k, t, V, wmax)
 
 
+def _probe_cascade2_multi(planes_list, codes, k: int, t: int, V: int,
+                          wmax=None):
+    """Amortized multi-index cascade: verdicts for ONE query batch against
+    S dense plane sets, sharing the upload and the window-key computation
+    (the reference's step-0 schedule searches each query set against up to
+    N-1 index sets, Commet.py:186-240). Per-index plane gathers are
+    irreducible -- the sharing amortizes the batch transport + keygen that
+    the pairwise loop repays per index, which is what the high-fill
+    regime (fill > the stream gate, where the sorted-join path disables
+    itself) leaves on the table. Returns [S, B] int8 verdicts, each
+    bit-identical to probe_cascade2 against that index."""
+    wk = window_keys(codes, k, "both", wmax)
+    out = []
+    for planes in planes_list:
+        tag_f, untag_f = _strand_cascade(planes, wk, "f", k, t, V)
+        tag_r, untag_r = _strand_cascade(planes, wk, "r", k, t, V)
+        out.append(jnp.where(
+            tag_f | tag_r, jnp.int8(VERDICT_TAGGED),
+            jnp.where(untag_f & untag_r, jnp.int8(VERDICT_UNTAGGED),
+                      jnp.int8(VERDICT_AMBIG))))
+    return jnp.stack(out)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("length", "k", "t", "V", "wmax"))
+def probe_cascade2_multi_clean(planes_list, codes2, lengths, length: int,
+                               k: int, t: int, V: int, wmax=None):
+    """Multi-index fused both-strand cascade for N-free batches."""
+    codes = unpack_codes_clean(codes2, lengths, length)
+    return _probe_cascade2_multi(planes_list, codes, k, t, V, wmax)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("length", "k", "t", "V", "wmax"))
+def probe_cascade2_multi_packed(planes_list, codes2, valid, length: int,
+                                k: int, t: int, V: int, wmax=None):
+    """Multi-index fused both-strand cascade for dirty batches."""
+    codes = unpack_codes(codes2, valid, length)
+    return _probe_cascade2_multi(planes_list, codes, k, t, V, wmax)
+
+
 def unpack_codes_clean(codes2: jax.Array, lengths: jax.Array, length: int):
     """Unpack 2-bit codes for reads with NO internal invalid bases: validity
     is just position < length, so the 1-bit validity plane never travels

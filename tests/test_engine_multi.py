@@ -192,6 +192,111 @@ def test_multi_long_reads_fall_back(tmp_path, monkeypatch):
     assert eng.build_resident(idx_sets[0], budget=10.0) is None
 
 
+@pytest.mark.parametrize("max_kmer", [None, 900])
+def test_planes_multi_matches_pairwise(tmp_path, monkeypatch, max_kmer):
+    """The HIGH-FILL amortized path (resident dense planes + shared-batch
+    cascade, Engine.search_multi_set_planes) must match the pairwise
+    engine's tags/counters/bv bytes, including multi-partition indexes."""
+    rng = np.random.default_rng(55)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "0")  # the high-fill regime
+    fresh_selfcheck(monkeypatch)
+    idx_sets, qry_fa = _mk(tmp_path, rng)
+
+    eng = Engine(k=K, t=T, batch=64, max_kmer=max_kmer)
+    residents = [eng.build_resident_planes(rs) for rs in idx_sets]
+    assert all(r is not None for r in residents)
+    if max_kmer is not None:
+        assert any(len(r.partitions) > 1 for r in residents)
+
+    out_multi = tmp_path / "multi"
+    out_pair = tmp_path / "pair"
+    os.makedirs(out_multi)
+    os.makedirs(out_pair)
+
+    rs_q = ReadSet("Q")
+    rs_q.add_file(qry_fa)
+    got = eng.search_multi_set_planes(rs_q, residents,
+                                      out_dir=str(out_multi),
+                                      log_dir=str(out_multi))
+
+    for rs in idx_sets:
+        eng2 = Engine(k=K, t=T, batch=64, max_kmer=max_kmer)
+        rs_q2 = ReadSet("Q")
+        rs_q2.add_file(qry_fa)
+        want = eng2.index_and_search(rs, [rs_q2], out_dir=str(out_pair),
+                                     log_dir=str(out_pair))["Q"]
+        g = got[rs.name]
+        for key in ("indexed", "searched", "shared"):
+            assert g[key] == want[key], (rs.name, key, g, want)
+        name = os.path.basename(qry_fa) + "_in_" + rs.name + ".bv"
+        with open(out_multi / name, "rb") as f1, \
+                open(out_pair / name, "rb") as f2:
+            assert f1.read() == f2.read(), name
+    assert got["I0"]["shared"] > 0
+
+
+def test_planes_multi_budget_and_k33(tmp_path, monkeypatch):
+    """build_resident_planes refuses when the planes exceed the budget;
+    k=33 wide keys are servable (4-plane addressing covers k <= 36)."""
+    rng = np.random.default_rng(6)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "0")
+    fresh_selfcheck(monkeypatch)
+    idx_sets, qry_fa = _mk(tmp_path, rng, n_idx_sets=2, n_idx=30, n_qry=40,
+                           length=110)
+    eng = Engine(k=K, t=T, batch=64)
+    assert eng.build_resident_planes(idx_sets[0], budget=10.0) is None
+
+    eng33 = Engine(k=33, t=T, batch=64)
+    residents = [eng33.build_resident_planes(rs) for rs in idx_sets]
+    assert all(r is not None for r in residents)
+    rs_q = ReadSet("Q")
+    rs_q.add_file(qry_fa)
+    got = eng33.search_multi_set_planes(rs_q, residents, save=False)
+    eng2 = Engine(k=33, t=T, batch=64)
+    rs_q2 = ReadSet("Q")
+    rs_q2.add_file(qry_fa)
+    want = eng2.index_and_search(idx_sets[0], [rs_q2], save=False)["Q"]
+    for key in ("indexed", "searched", "shared"):
+        assert got["I0"][key] == want[key], key
+
+
+def test_driver_plane_cohorts_matches_classic(tmp_path, monkeypatch):
+    """Full driver with the stream disabled (the high-fill situation):
+    the plane-cohort schedule must produce byte-identical .bv files and
+    CSV matrices to the classic per-round schedule."""
+    from commet_tpu.cli import commet as commet_cli
+
+    rng = np.random.default_rng(707)
+    monkeypatch.setenv("COMMET_TPU_STREAM", "0")
+    fresh_selfcheck(monkeypatch)
+    donors = None
+    fofs = []
+    for s in range(3):
+        fa = str(tmp_path / f"set{s}.fa")
+        d = write_fasta(fa, rng, 60, 90, donors=donors)
+        donors = donors or d
+        fofs.append(f"S{s}: {fa}")
+    fof = tmp_path / "fof.txt"
+    fof.write_text("\n".join(fofs) + "\n")
+
+    outs = {}
+    for mode, flag in (("cohort", "force"), ("classic", "")):
+        monkeypatch.setenv("COMMET_TPU_PLANE_COHORTS", flag)
+        monkeypatch.setenv("COMMET_TPU_MULTI", "1" if flag else "0")
+        out = str(tmp_path / mode) + "/"
+        rc = commet_cli.main([str(fof), "-k", str(K), "-t", str(T),
+                              "-o", out, "--no-plots"])
+        assert rc == 0
+        outs[mode] = out
+    names = sorted(n for n in os.listdir(outs["classic"])
+                   if n.endswith(".bv") or n.endswith(".csv"))
+    assert any(n.endswith(".bv") for n in names)
+    for n in names:
+        with open(outs["cohort"] + n, "rb") as f1, \
+                open(outs["classic"] + n, "rb") as f2:
+            assert f1.read() == f2.read(), n
+
+
 def test_multi_wide_matches_pairwise(tmp_path, monkeypatch):
     """k=33 (the reference default) amortized engine path: wide-key joins
     carry the packed hi-bit streams; the tiny AMBIG residue resolves
