@@ -73,9 +73,79 @@ def synth_workload(rng):
     return index_codes, query
 
 
+def bench_first_pair_cli():
+    """Fresh-process first-pair latency through the REAL user entry point
+    (the index_and_search CLI, which auto-seeds the compile cache on the
+    first invocation of a code version -- commet_tpu.autowarm). Two
+    subprocess runs: run 1 may pay the one-time cache seeding (reported
+    separately as coldcache), run 2 is the steady fresh-process cost a
+    user sees ever after. MUST run before this process initializes the
+    TPU backend (two concurrent clients of the tunneled chip deadlock),
+    hence it is called at the top of main()."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="commet_first_")
+    rng = np.random.default_rng(77)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def write_fasta(path, n):
+        codes = rng.integers(0, 4, size=(n, READ_LEN), dtype=np.int8)
+        seqs = lut[codes.astype(np.int64)]
+        with open(path, "wb") as f:
+            f.write(b"".join(b">r%d\n%s\n" % (i, seqs[i].tobytes())
+                             for i in range(n)))
+
+    idx_fa = os.path.join(workdir, "i.fa")
+    qry_fa = os.path.join(workdir, "q.fa")
+    write_fasta(idx_fa, N_INDEX)
+    write_fasta(qry_fa, N_QUERY)
+    with open(os.path.join(workdir, "i.txt"), "w") as f:
+        f.write(f"I: {idx_fa}\n")
+    with open(os.path.join(workdir, "q.txt"), "w") as f:
+        f.write(f"Q: {qry_fa}\n")
+    out = {}
+    times = []
+    try:
+        for rep in range(2):
+            t0 = time.time()
+            r = subprocess.run(
+                [sys.executable, "-m", "commet_tpu.cli.index_and_search",
+                 "-i", os.path.join(workdir, "i.txt"),
+                 "-s", os.path.join(workdir, "q.txt"), "-k", str(K),
+                 "-t", str(T), "-o", os.path.join(workdir, "out"),
+                 "-l", os.path.join(workdir, "out")],
+                capture_output=True, timeout=1800, cwd=os.path.dirname(
+                    os.path.abspath(__file__)))
+            dt = time.time() - t0
+            if r.returncode != 0:
+                log(f"first-pair CLI run failed: "
+                    f"{r.stderr.decode()[-300:]}")
+                return {}
+            times.append(dt)
+            log(f"fresh-process CLI pair run {rep + 1}: {dt:.1f}s")
+        out["pair_seconds_first_coldcache"] = round(times[0], 2)
+        out["pair_seconds_first_cli"] = round(times[1], 2)
+    except Exception as exc:  # noqa: BLE001
+        log(f"first-pair CLI benchmark skipped: {exc}")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def main():
     from commet_tpu.config import enable_compile_cache
     enable_compile_cache()
+
+    # fresh-process CLI first-pair latency BEFORE this process touches the
+    # device (exclusive-chip constraint; see bench_first_pair_cli)
+    first_pair_extra = {}
+    if os.environ.get("COMMET_TPU_BENCH_FIRSTPAIR", "1") != "0":
+        try:
+            first_pair_extra = bench_first_pair_cli()
+        except Exception as exc:  # noqa: BLE001
+            log(f"first-pair CLI benchmark skipped: {exc}")
 
     import jax
     import jax.numpy as jnp
@@ -341,6 +411,7 @@ def main():
             "ambiguous": n_amb,
             "cascade_verify_v": V,
             "device": str(jax.devices()[0]),
+            **first_pair_extra,
             **multi_extra,
             **pair_extra,
         },
@@ -693,9 +764,13 @@ def bench_k33(rng):
         for s in range(0, N_QRY, sbatch):
             c2 = qc2_all[s : s + sbatch]
             lens = np.full(len(c2), READ_LEN, dtype=np.int32)
-            outs.append(stream.probe_cascade2_stream(
-                ika, ikb, mi33, jnp.asarray(c2), jnp.asarray(lens), lpad,
-                K33, T, wmax, jchunk, ihib=ihib))
+            # the engine's production path: the S=1 multi pipeline
+            # (2-operand packed unsort + reduction greedy) beats the
+            # legacy single-index stream probe (BENCH_NOTES r4)
+            outs.append(stream.probe_multi_stream_clean(
+                (ika,), (ikb,), (mi33,), jnp.asarray(c2),
+                jnp.asarray(lens), lpad, K33, T, wmax, jchunk,
+                ihibs=(ihib,))[0])
         v8 = np.concatenate([np.asarray(o) for o in outs])
         tags[v8 == kernels.VERDICT_TAGGED] = True
         amb = np.nonzero(v8 == kernels.VERDICT_AMBIG)[0]
@@ -1098,43 +1173,10 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
     import subprocess
     import tempfile
 
-    rng = np.random.default_rng(seed)
-    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     workdir = keep_dir or tempfile.mkdtemp(prefix="commet_ava_")
-    os.makedirs(workdir, exist_ok=True)
     t0 = time.time()
-    files = [os.path.join(workdir, f"S{si}.fa") for si in range(n_sets)]
-    if keep_dir and all(os.path.exists(p) and os.path.getsize(p) >
-                        n_reads * READ_LEN for p in files):
-        pass  # resume: every set already fully written
-    else:
-      files = []
-      donor = None
-      for si in range(n_sets):
-        path = os.path.join(workdir, f"S{si}.fa")
-        with open(path, "wb") as f:
-            for s in range(0, n_reads, 250_000):
-                cnt = min(250_000, n_reads - s)
-                codes = rng.integers(0, 4, size=(cnt, READ_LEN),
-                                     dtype=np.int8)
-                if donor is None:
-                    donor = codes[: min(cnt, 4096)].copy()
-                else:
-                    # ~overlap fraction of reads carry fragments shared
-                    # with set 0's donor pool (so every pair overlaps)
-                    novl = int(cnt * overlap)
-                    frag = 2 * kcfg
-                    dn = donor[rng.integers(0, len(donor), size=novl)]
-                    ds = rng.integers(0, READ_LEN - frag + 1, size=novl)
-                    qs = rng.integers(0, READ_LEN - frag + 1, size=novl)
-                    rows = np.arange(novl)[:, None]
-                    cols = np.arange(frag)
-                    codes[rows, qs[:, None] + cols] = \
-                        dn[rows, ds[:, None] + cols].astype(np.int8)
-                seqs = lut[codes.astype(np.int64)]
-                f.write(b"".join(b">r%d\n%s\n" % (s + i, seqs[i].tobytes())
-                                 for i in range(cnt)))
-        files.append(path)
+    files = _allvsall_gen(workdir, n_sets, n_reads, kcfg, seed, overlap,
+                          resumable=keep_dir is not None)
     log(f"allvsall workload: {n_sets} sets x {n_reads} reads ready in "
         f"{time.time()-t0:.0f}s")
 
@@ -1263,6 +1305,49 @@ def bench_allvsall(n_sets=10, n_reads=1_000_000, kcfg=33, seed=17,
     if keep_dir is None:
         shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def _allvsall_gen(workdir, n_sets, n_reads, kcfg, seed, overlap,
+                  resumable=False):
+    """Write the all-vs-all workload sets (deterministic in the params);
+    with resumable=True, fully-written sets from a previous run with the
+    SAME params are reused."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    os.makedirs(workdir, exist_ok=True)
+    files = [os.path.join(workdir, f"S{si}.fa") for si in range(n_sets)]
+    if resumable and all(os.path.exists(p) and os.path.getsize(p) >
+                         n_reads * READ_LEN for p in files):
+        return files  # resume: every set already fully written
+    donor = None
+    for si in range(n_sets):
+        path = files[si]
+        with open(path, "wb") as f:
+            for s in range(0, n_reads, 250_000):
+                cnt = min(250_000, n_reads - s)
+                codes = rng.integers(0, 4, size=(cnt, READ_LEN),
+                                     dtype=np.int8)
+                if donor is None:
+                    donor = codes[: min(cnt, 4096)].copy()
+                else:
+                    # ~overlap fraction of reads carry fragments shared
+                    # with set 0's donor pool (so every pair overlaps)
+                    novl = int(cnt * overlap)
+                    frag = 2 * kcfg
+                    dn = donor[rng.integers(0, len(donor), size=novl)]
+                    ds = rng.integers(0, READ_LEN - frag + 1, size=novl)
+                    qs = rng.integers(0, READ_LEN - frag + 1, size=novl)
+                    rows = np.arange(novl)[:, None]
+                    cols = np.arange(frag)
+                    codes[rows, qs[:, None] + cols] = \
+                        dn[rows, ds[:, None] + cols].astype(np.int8)
+                seqs = lut[codes.astype(np.int64)]
+                f.write(b"".join(b">r%d\n%s\n" % (s + i, seqs[i].tobytes())
+                                 for i in range(cnt)))
+        log(f"  allvsall set {si + 1}/{n_sets} written")
+    return files
 
 
 def _allvsall_ref_sample(out, workdir, ref_dir, ref_bin_dir, read_matrix,
