@@ -691,6 +691,15 @@ def build_chunk_packed(planes, codes2, valid, length: int, k: int):
     return _build_chunk_impl(planes, codes, k)
 
 
+@functools.partial(jax.jit, static_argnames=("length", "k"),
+                   donate_argnums=(0,))
+def build_chunk_packed_clean(planes, codes2, lengths, length: int, k: int):
+    """build_chunk for N-free batches (lengths replace the validity plane
+    in transport — 3x less uplink volume)."""
+    codes = unpack_codes_clean(codes2, lengths, length)
+    return _build_chunk_impl(planes, codes, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
 def build_chunk(planes: jax.Array, codes: jax.Array, k: int):
     """Feed every complete forward-strand window of every read into the 4

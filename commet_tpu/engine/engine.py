@@ -600,15 +600,24 @@ class Engine:
                     planes = self._alloc_planes()
                 lengths = enc.read_lengths(idx)
                 lpad = _pad_length(int(lengths.max(initial=1)), self.k)
-                for _sl, c2, vd, _ln, _cl in self._batched_packed(
+                for _sl, c2, vd, ln, cl in self._batched_packed(
                         enc, idx, lpad,
                         size=self._device_batch(len(idx), build=True)):
-                    c2d, vdd = self._dev(c2, "rep"), self._dev(vd, "rep")
-                    collect.append(_stream.chunk_index_keys(
-                        c2d, vdd, lpad, self.k))
-                    if wide:
-                        planes = kernels.build_chunk_packed(
-                            planes, c2d, vdd, lpad, self.k)
+                    c2d = self._dev(c2, "rep")
+                    if cl:  # N-free: lengths replace the validity plane
+                        lnd = self._dev(ln, "rep")
+                        collect.append(_stream.chunk_index_keys_clean(
+                            c2d, lnd, lpad, self.k))
+                        if wide:
+                            planes = kernels.build_chunk_packed_clean(
+                                planes, c2d, lnd, lpad, self.k)
+                    else:
+                        vdd = self._dev(vd, "rep")
+                        collect.append(_stream.chunk_index_keys(
+                            c2d, vdd, lpad, self.k))
+                        if wide:
+                            planes = kernels.build_chunk_packed(
+                                planes, c2d, vdd, lpad, self.k)
             self._finish_index_keys(collect)
             if not wide:
                 return None  # planeless: the StreamIndex is everything
@@ -703,10 +712,14 @@ class Engine:
                     jnp.zeros(w, jnp.uint32), word, or_mask)
                 planes = kernels.bulk_or_plane(planes, scratch, p * w, w)
 
-        for _sl, c2, vd, _ln, _cl in self._batched_packed(
+        for _sl, c2, vd, ln, cl in self._batched_packed(
                 enc, idx, lpad, size=self._device_batch(len(idx))):
-            ka, kb, hib, fl, _cnt = _stream.chunk_index_keys(
-                jnp.asarray(c2), jnp.asarray(vd), lpad, self.k)
+            if cl:  # N-free batch: skip the validity-plane upload
+                ka, kb, hib, fl, _cnt = _stream.chunk_index_keys_clean(
+                    jnp.asarray(c2), jnp.asarray(ln), lpad, self.k)
+            else:
+                ka, kb, hib, fl, _cnt = _stream.chunk_index_keys(
+                    jnp.asarray(c2), jnp.asarray(vd), lpad, self.k)
             acc.append((ka, kb, hib, fl))
             slots += int(ka.size)
             if slots >= cap:
@@ -1047,11 +1060,17 @@ class Engine:
             else:
                 lengths = enc.read_lengths(rows)
                 lpad = _pad_length(int(lengths.max(initial=1)), self.k)
-                for _sl, c2, vd, _ln, _cl in self._batched_packed(
+                for _sl, c2, vd, ln, cl in self._batched_packed(
                         enc, rows, lpad,
                         size=self._device_batch(len(rows))):
-                    collect.append(_stream.chunk_index_keys(
-                        jnp.asarray(c2), jnp.asarray(vd), lpad, self.k))
+                    if cl:  # N-free: skip the validity-plane upload
+                        collect.append(_stream.chunk_index_keys_clean(
+                            jnp.asarray(c2), jnp.asarray(ln), lpad,
+                            self.k))
+                    else:
+                        collect.append(_stream.chunk_index_keys(
+                            jnp.asarray(c2), jnp.asarray(vd), lpad,
+                            self.k))
             if not collect:
                 continue
             sx = _stream.finalize_index(
