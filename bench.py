@@ -134,9 +134,47 @@ def bench_first_pair_cli():
     return out
 
 
+def device_reachable(tries: int = 3, per_try_s: int = 150) -> bool:
+    """Bounded device health gate, run in SUBPROCESSES so a dead tunnel
+    cannot hang this process (a hung in-process backend op is unkillable
+    from Python). The tunneled TPU terminal has real multi-hour outages;
+    when it is unreachable the bench must emit an honest error line
+    rather than hang the caller forever."""
+    import subprocess
+
+    code = ("import sys; sys.path.insert(0, %r); "
+            "from commet_tpu.config import enable_compile_cache; "
+            "enable_compile_cache(); "
+            "import jax, jax.numpy as jnp; "
+            "print(float(jnp.zeros(8, jnp.uint32).sum()))"
+            % os.path.dirname(os.path.abspath(__file__)))
+    for i in range(tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=per_try_s)
+            if r.returncode == 0:
+                return True
+            log(f"device ping {i + 1}/{tries} failed: "
+                f"{r.stderr.decode()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"device ping {i + 1}/{tries} timed out ({per_try_s}s) — "
+                "tunnel unreachable")
+        time.sleep(30)
+    return False
+
+
 def main():
     from commet_tpu.config import enable_compile_cache
     enable_compile_cache()
+
+    if not device_reachable():
+        print(json.dumps({
+            "metric": "pair_search_reads_per_sec_k32_allvsall8",
+            "value": 0, "unit": "reads/s", "vs_baseline": 0,
+            "extra": {"error": "TPU tunnel unreachable (bounded health "
+                               "gate failed 3x); see BENCH_NOTES.md for "
+                               "the last good measurements"}}))
+        return
 
     # fresh-process CLI first-pair latency BEFORE this process touches the
     # device (exclusive-chip constraint; see bench_first_pair_cli)
