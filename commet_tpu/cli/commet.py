@@ -170,7 +170,17 @@ def run_plane_cohorts(read_matrix, bv_matrix, names, out_dir, end, eng):
         total = 0
         while i < end and len(cohort) < max_s:
             rs = _load_set(names[i], read_matrix[i], bv_matrix[i])
-            r = eng.build_resident_planes(rs, budget=budget - total)
+            saved_chunk = os.environ.get("COMMET_TPU_BULK_CHUNK")
+            if cohort and eng.k >= 32 and saved_chunk is None:
+                # building next to already-resident multi-GiB planes:
+                # halve the bulk-build sort workspace to keep peak HBM
+                # (resident planes + new planes + sort operands) in budget
+                os.environ["COMMET_TPU_BULK_CHUNK"] = str(1 << 26)
+            try:
+                r = eng.build_resident_planes(rs, budget=budget - total)
+            finally:
+                if saved_chunk is None:
+                    os.environ.pop("COMMET_TPU_BULK_CHUNK", None)
             if r is None:
                 break
             cohort.append(r)
